@@ -1,0 +1,39 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors the reference's CI approach of testing on whatever host runs the suite
+(SURVEY.md §4): multi-chip sharding is validated on virtual CPU devices via
+--xla_force_host_platform_device_count, no real TPU pod required.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import pytest
+
+REFERENCE_RESOURCES = Path("/root/reference/Tests/WhisperKitTests/Resources")
+
+
+@pytest.fixture(scope="session")
+def resources() -> Path:
+    if not REFERENCE_RESOURCES.exists():
+        pytest.skip("reference audio fixtures unavailable")
+    return REFERENCE_RESOURCES
+
+
+@pytest.fixture(scope="session")
+def jfk_audio(resources):
+    from whisperkit_tpu.audio.io import load_audio
+
+    return load_audio(resources / "jfk.wav")

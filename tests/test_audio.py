@@ -1,0 +1,150 @@
+"""Audio front-end tests.
+
+Reference coverage model: UnitTests.swift:295-477 (load/resample/pad/trim/
+energy/channel modes), :2117-2333 (VAD + chunker).
+"""
+
+import numpy as np
+import pytest
+
+from whisperkit_tpu.audio.chunker import VADAudioChunker
+from whisperkit_tpu.audio.io import (
+    ChannelMode,
+    SAMPLE_RATE,
+    WINDOW_SAMPLES,
+    convert_to_mono,
+    energy_per_frame,
+    load_audio,
+    pad_or_trim,
+    relative_energy_db,
+    resample_audio,
+    rms_energy,
+)
+from whisperkit_tpu.audio.vad import EnergyVAD, is_voice_detected
+from whisperkit_tpu.core.results import TranscriptionResult, TranscriptionSegment, WordTiming
+
+
+def test_load_jfk_wav(jfk_audio):
+    assert jfk_audio.dtype == np.float32
+    assert jfk_audio.shape[0] == 176000  # 11 s at 16 kHz
+    assert 0.01 < np.abs(jfk_audio).max() <= 1.0
+
+
+def test_load_m4a_resampled(resources):
+    audio = load_audio(resources / "jfk_441khz.m4a")
+    # 44.1 kHz m4a of the same 11 s clip → ~176k samples at 16 kHz
+    assert abs(audio.shape[0] - 176000) < SAMPLE_RATE // 2
+
+
+def test_load_multichannel_modes(resources):
+    summed = load_audio(resources / "8_Channel_ID.m4a")
+    selected = load_audio(
+        resources / "8_Channel_ID.m4a", channel_mode=ChannelMode.SELECT, channel=2
+    )
+    assert summed.shape == selected.shape
+    assert not np.allclose(summed, selected)
+
+
+def test_convert_to_mono_peak_renorm():
+    x = np.stack([np.full(100, 0.5, np.float32), np.full(100, 0.5, np.float32)])
+    mono = convert_to_mono(x)
+    # sum would be 1.0; renormalized back to the original 0.5 peak
+    assert np.abs(mono).max() == pytest.approx(0.5, abs=1e-6)
+
+
+def test_resample_sine_preserves_frequency():
+    t = np.arange(44100) / 44100.0
+    sine = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    out = resample_audio(sine, 44100, 16000)
+    assert abs(out.shape[0] - 16000) <= 1
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    peak_hz = np.argmax(spec) * 16000 / len(out)
+    assert abs(peak_hz - 440.0) < 5.0
+
+
+def test_pad_or_trim():
+    x = np.ones(1000, np.float32)
+    padded = pad_or_trim(x)
+    assert padded.shape[0] == WINDOW_SAMPLES
+    assert padded[:1000].sum() == pytest.approx(1000)
+    assert padded[1000:].sum() == 0
+    trimmed = pad_or_trim(np.ones(WINDOW_SAMPLES * 2, np.float32), start=100)
+    assert trimmed.shape[0] == WINDOW_SAMPLES
+
+
+def test_energy():
+    silence = np.zeros(1600, np.float32)
+    tone = np.full(1600, 0.5, np.float32)
+    assert rms_energy(silence) == 0.0
+    assert rms_energy(tone) == pytest.approx(0.5)
+    frames = energy_per_frame(np.concatenate([silence, tone]), 1600)
+    assert frames.shape == (2,)
+    assert frames[0] < 0.02 < frames[1]
+    assert relative_energy_db(1.0, 1.0) == pytest.approx(0.0)
+
+
+def _speech_silence_speech(speech_s=2.0, silence_s=1.5):
+    rng = np.random.default_rng(0)
+    speech = (rng.standard_normal(int(speech_s * SAMPLE_RATE)) * 0.2).astype(np.float32)
+    silence = np.zeros(int(silence_s * SAMPLE_RATE), np.float32)
+    return np.concatenate([speech, silence, speech])
+
+
+def test_energy_vad_activity():
+    vad = EnergyVAD()
+    audio = _speech_silence_speech()
+    activity = vad.voice_activity(audio)
+    # 2 s speech = 20 frames active, 1.5 s silence = 15 inactive, 20 active
+    assert activity[:20].all()
+    assert not activity[20:35].any()
+    assert activity[35:55].all()
+    silence = vad.find_longest_silence(list(activity))
+    assert silence == (20, 35)
+    chunks = vad.calculate_active_chunks(audio)
+    assert len(chunks) == 2
+    assert chunks[0][0] == 0
+    clip_ts = vad.voice_activity_clip_timestamps(audio)
+    assert len(clip_ts) == 4
+    assert clip_ts[0] == pytest.approx(0.0)
+    assert clip_ts[1] == pytest.approx(2.0, abs=0.1)
+
+
+def test_is_voice_detected():
+    audio = _speech_silence_speech()
+    assert is_voice_detected(audio)  # ends with speech
+    assert not is_voice_detected(np.zeros(SAMPLE_RATE, np.float32))
+
+
+def test_chunker_short_audio_single_chunk():
+    audio = np.ones(SAMPLE_RATE * 5, np.float32) * 0.1
+    chunks = VADAudioChunker().chunk_all(audio)
+    assert len(chunks) == 1
+    assert chunks[0].seek_offset_index == 0
+    assert chunks[0].audio_samples.shape[0] == audio.shape[0]
+
+
+def test_chunker_splits_at_silence():
+    # 50 s audio: speech with a clear silence at ~20 s into the second half
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(SAMPLE_RATE * 50) * 0.2).astype(np.float32)
+    silence_start = int(SAMPLE_RATE * 20)
+    audio[silence_start : silence_start + SAMPLE_RATE * 2] = 0.0
+    chunks = VADAudioChunker().chunk_all(audio)
+    assert len(chunks) >= 2
+    assert all(c.audio_samples.shape[0] <= WINDOW_SAMPLES for c in chunks)
+    # chunks tile the audio exactly
+    assert sum(c.audio_samples.shape[0] for c in chunks) == audio.shape[0]
+    offsets = [c.seek_offset_index for c in chunks]
+    assert offsets == sorted(offsets)
+    # first split lands inside the inserted silence
+    assert silence_start <= chunks[0].audio_samples.shape[0] <= silence_start + SAMPLE_RATE * 2
+
+
+def test_update_seek_offsets():
+    seg = TranscriptionSegment(start=1.0, end=2.0,
+                               words=[WordTiming("a", [1], 1.0, 1.5, 0.9)])
+    res = TranscriptionResult(segments=[seg])
+    out = VADAudioChunker.update_seek_offsets_for_results([res], [SAMPLE_RATE * 30])
+    assert out[0].segments[0].start == pytest.approx(31.0)
+    assert out[0].segments[0].end == pytest.approx(32.0)
+    assert out[0].segments[0].words[0].start == pytest.approx(31.0)
