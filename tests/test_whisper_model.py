@@ -1,0 +1,181 @@
+"""Whisper model numerics: parity vs torch `transformers` with shared weights.
+
+This replaces the reference's strategy of testing against the real CoreML tiny
+model (UnitTests.swift:674-815): with no network access, we instead
+instantiate a small random HF torch Whisper, save it, load it through our
+checkpoint loader, and require logit-level agreement — which validates the
+loader AND the model math end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from whisperkit_tpu.models.loader import load_whisper
+from whisperkit_tpu.models.whisper import (
+    VARIANT_DIMS,
+    WhisperDims,
+    compute_cross_kv,
+    decoder_forward,
+    encoder_forward,
+    init_kv_cache,
+    init_params,
+)
+
+TINY_CFG = dict(
+    vocab_size=207,
+    num_mel_bins=80,
+    d_model=64,
+    encoder_layers=2,
+    encoder_attention_heads=4,
+    decoder_layers=2,
+    decoder_attention_heads=4,
+    encoder_ffn_dim=256,
+    decoder_ffn_dim=256,
+    max_source_positions=150,  # encoder ctx (mel frames = 300)
+    max_target_positions=64,
+    # small-vocab overrides for the default GPT-2-sized special ids
+    pad_token_id=0,
+    bos_token_id=1,
+    eos_token_id=2,
+    decoder_start_token_id=3,
+    suppress_tokens=[],
+    begin_suppress_tokens=[],
+)
+
+
+@pytest.fixture(scope="module")
+def torch_whisper(tmp_path_factory):
+    import torch
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    torch.manual_seed(0)
+    model = WhisperForConditionalGeneration(WhisperConfig(**TINY_CFG)).eval()
+    folder = tmp_path_factory.mktemp("hf_whisper")
+    model.save_pretrained(folder, safe_serialization=True)
+    return model, folder
+
+
+@pytest.fixture(scope="module")
+def ours(torch_whisper):
+    _, folder = torch_whisper
+    dims, params, _ = load_whisper(folder, dtype=jnp.float32)
+    return dims, params
+
+
+def test_dims_from_config(ours):
+    dims, _ = ours
+    assert dims.n_audio_state == 64
+    assert dims.n_audio_ctx == 150
+    assert dims.n_vocab == 207
+
+
+def test_encoder_parity(torch_whisper, ours):
+    import torch
+
+    model, _ = torch_whisper
+    dims, params = ours
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model.model.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+    out = np.asarray(encoder_forward(params, jnp.asarray(mel), dims))
+    assert out.shape == ref.shape == (2, dims.n_audio_ctx, dims.n_audio_state)
+    assert np.abs(out - ref).max() < 2e-4, np.abs(out - ref).max()
+
+
+def test_decoder_prefill_parity(torch_whisper, ours):
+    import torch
+
+    model, _ = torch_whisper
+    dims, params = ours
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((1, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)
+    tokens = rng.integers(0, dims.n_vocab, size=(1, 7)).astype(np.int32)
+
+    with torch.no_grad():
+        ref = model(
+            input_features=torch.from_numpy(mel),
+            decoder_input_ids=torch.from_numpy(tokens.astype(np.int64)),
+        ).logits.numpy()
+
+    enc = encoder_forward(params, jnp.asarray(mel), dims)
+    cross_k, cross_v = compute_cross_kv(params, enc, dims)
+    kv_k, kv_v = init_kv_cache(dims, 1, dtype=jnp.float32)
+    logits, _, _ = decoder_forward(
+        params, jnp.asarray(tokens), 0, kv_k, kv_v, cross_k, cross_v, dims
+    )
+    out = np.asarray(logits)
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 2e-3, np.abs(out - ref).max()
+
+
+def test_incremental_matches_prefill(ours):
+    """KV-cached single-token stepping must reproduce full-prefill logits."""
+    dims, params = ours
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)
+    tokens = rng.integers(0, dims.n_vocab, size=(1, 6)).astype(np.int32)
+
+    enc = encoder_forward(params, jnp.asarray(mel), dims)
+    cross_k, cross_v = compute_cross_kv(params, enc, dims)
+
+    kv_k, kv_v = init_kv_cache(dims, 1, dtype=jnp.float32)
+    full_logits, _, _ = decoder_forward(
+        params, jnp.asarray(tokens), 0, kv_k, kv_v, cross_k, cross_v, dims
+    )
+
+    kv_k, kv_v = init_kv_cache(dims, 1, dtype=jnp.float32)
+    step_logits = []
+    for t in range(tokens.shape[1]):
+        lg, (kv_k, kv_v), _ = decoder_forward(
+            params, jnp.asarray(tokens[:, t : t + 1]), t, kv_k, kv_v, cross_k, cross_v, dims
+        )
+        step_logits.append(np.asarray(lg)[:, 0])
+    step_logits = np.stack(step_logits, axis=1)
+    assert np.abs(step_logits - np.asarray(full_logits)).max() < 1e-3
+
+
+def test_alignment_capture_shapes(ours):
+    dims, params = ours
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((1, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)
+    tokens = rng.integers(0, dims.n_vocab, size=(1, 4)).astype(np.int32)
+    enc = encoder_forward(params, jnp.asarray(mel), dims)
+    cross_k, cross_v = compute_cross_kv(params, enc, dims)
+    kv_k, kv_v = init_kv_cache(dims, 1, dtype=jnp.float32)
+    _, _, probs = decoder_forward(
+        params, jnp.asarray(tokens), 0, kv_k, kv_v, cross_k, cross_v, dims,
+        capture_alignment=True,
+    )
+    assert probs.shape == (dims.n_text_layer, 1, dims.n_text_head, 4, dims.n_audio_ctx)
+    # softmax rows sum to 1
+    assert np.allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-3)
+
+
+def test_init_params_structure(ours):
+    """Random init must produce the same tree structure as a loaded checkpoint."""
+    dims, params = ours
+    rand = init_params(jax.random.PRNGKey(0), dims, dtype=jnp.float32)
+    ref_paths = {
+        jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(params)
+    }
+    rand_paths = {
+        jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(rand)
+    }
+    assert ref_paths == rand_paths
+    for (p1, a), (p2, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(params), key=lambda kv: jax.tree_util.keystr(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(rand), key=lambda kv: jax.tree_util.keystr(kv[0])),
+    ):
+        assert a.shape == b.shape, f"{jax.tree_util.keystr(p1)}: {a.shape} vs {b.shape}"
+
+
+def test_variant_dims_table():
+    assert VARIANT_DIMS["tiny"].n_audio_state == 384
+    assert VARIANT_DIMS["large-v3"].n_mels == 128
+    assert VARIANT_DIMS["large-v3"].n_vocab == 51866
+    assert VARIANT_DIMS["large-v3-turbo"].n_text_layer == 4

@@ -1,0 +1,179 @@
+"""Checkpoint loading: HF-format Whisper safetensors → our parameter pytree.
+
+Reference behavior: Sources/WhisperKit/Core/WhisperKit.swift:358-442
+`loadModels` (detect model files, load per-component, sniff variant from
+dims — ModelUtilities.swift:128-173). Here the artifact format is HF
+`transformers` Whisper (config.json + model.safetensors), the de-facto
+distribution format for Whisper weights.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from whisperkit_tpu.core.errors import ModelsUnavailable
+from whisperkit_tpu.core.logging import logging
+from whisperkit_tpu.models.whisper import WhisperDims, sinusoidal_positions
+
+
+def dims_from_hf_config(cfg: dict) -> WhisperDims:
+    return WhisperDims(
+        n_mels=cfg.get("num_mel_bins", 80),
+        n_vocab=cfg["vocab_size"],
+        n_audio_ctx=cfg.get("max_source_positions", 1500),
+        n_audio_state=cfg["d_model"],
+        n_audio_head=cfg["encoder_attention_heads"],
+        n_audio_layer=cfg["encoder_layers"],
+        n_text_ctx=cfg.get("max_target_positions", 448),
+        n_text_state=cfg["d_model"],
+        n_text_head=cfg["decoder_attention_heads"],
+        n_text_layer=cfg["decoder_layers"],
+    )
+
+
+def _read_safetensors(folder: Path) -> dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    tensors: dict[str, np.ndarray] = {}
+    files = sorted(folder.glob("*.safetensors"))
+    if not files:
+        raise ModelsUnavailable(f"no .safetensors files in {folder}")
+    for f in files:
+        with safe_open(str(f), framework="np") as sf:
+            for key in sf.keys():
+                tensors[key] = sf.get_tensor(key)
+    return tensors
+
+
+def load_whisper(
+    folder: Union[str, Path], dtype=jnp.bfloat16
+) -> tuple[WhisperDims, dict, Optional[np.ndarray]]:
+    """Load a HF-format Whisper checkpoint.
+
+    Returns (dims, params, alignment_heads or None). alignment_heads is an
+    [A, 2] int array of (decoder_layer, head) pairs from
+    generation_config.json when present (used for word-timestamp DTW).
+    """
+    folder = Path(folder)
+    with open(folder / "config.json") as f:
+        cfg = json.load(f)
+    dims = dims_from_hf_config(cfg)
+    tensors = _read_safetensors(folder)
+    params = convert_hf_state_dict(tensors, dims, dtype)
+
+    alignment_heads = None
+    gen_cfg_path = folder / "generation_config.json"
+    if gen_cfg_path.exists():
+        with open(gen_cfg_path) as f:
+            gen_cfg = json.load(f)
+        if "alignment_heads" in gen_cfg:
+            alignment_heads = np.asarray(gen_cfg["alignment_heads"], dtype=np.int32)
+    logging.info(
+        f"loaded whisper from {folder}: d={dims.n_audio_state} layers="
+        f"{dims.n_audio_layer}/{dims.n_text_layer} vocab={dims.n_vocab}"
+    )
+    return dims, params, alignment_heads
+
+
+def convert_hf_state_dict(
+    tensors: dict[str, np.ndarray], dims: WhisperDims, dtype=jnp.bfloat16
+) -> dict:
+    """Map HF `WhisperForConditionalGeneration` names → our pytree.
+
+    HF linear weights are [out, in] (y = x Wᵀ); ours are [in, out].
+    """
+
+    def get(name: str) -> np.ndarray:
+        if name in tensors:
+            return tensors[name]
+        # some exports drop the leading "model."
+        alt = name[len("model.") :] if name.startswith("model.") else "model." + name
+        if alt in tensors:
+            return tensors[alt]
+        raise ModelsUnavailable(f"missing tensor {name}")
+
+    def lin(prefix: str, bias: bool = True) -> dict:
+        p = {"w": jnp.asarray(get(prefix + ".weight").T, dtype)}
+        if bias:
+            p["b"] = jnp.asarray(get(prefix + ".bias"), dtype)
+        return p
+
+    def ln(prefix: str) -> dict:
+        return {
+            "g": jnp.asarray(get(prefix + ".weight"), dtype),
+            "b": jnp.asarray(get(prefix + ".bias"), dtype),
+        }
+
+    def attn(prefix: str) -> dict:
+        return {
+            "q": lin(prefix + ".q_proj"),
+            "k": lin(prefix + ".k_proj", bias=False),
+            "v": lin(prefix + ".v_proj"),
+            "out": lin(prefix + ".out_proj"),
+        }
+
+    def stack(block_list: list[dict]) -> dict:
+        import jax
+
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *block_list)
+
+    enc_blocks = []
+    for i in range(dims.n_audio_layer):
+        p = f"model.encoder.layers.{i}"
+        enc_blocks.append(
+            {
+                "attn_ln": ln(f"{p}.self_attn_layer_norm"),
+                "attn": attn(f"{p}.self_attn"),
+                "mlp_ln": ln(f"{p}.final_layer_norm"),
+                "fc1": lin(f"{p}.fc1"),
+                "fc2": lin(f"{p}.fc2"),
+            }
+        )
+    dec_blocks = []
+    for i in range(dims.n_text_layer):
+        p = f"model.decoder.layers.{i}"
+        dec_blocks.append(
+            {
+                "attn_ln": ln(f"{p}.self_attn_layer_norm"),
+                "attn": attn(f"{p}.self_attn"),
+                "cross_attn_ln": ln(f"{p}.encoder_attn_layer_norm"),
+                "cross_attn": attn(f"{p}.encoder_attn"),
+                "mlp_ln": ln(f"{p}.final_layer_norm"),
+                "fc1": lin(f"{p}.fc1"),
+                "fc2": lin(f"{p}.fc2"),
+            }
+        )
+
+    try:
+        enc_pos = jnp.asarray(get("model.encoder.embed_positions.weight"), dtype)
+    except ModelsUnavailable:
+        enc_pos = jnp.asarray(
+            sinusoidal_positions(dims.n_audio_ctx, dims.n_audio_state), dtype
+        )
+
+    encoder = {
+        "conv1": {
+            "w": jnp.asarray(get("model.encoder.conv1.weight"), dtype),
+            "b": jnp.asarray(get("model.encoder.conv1.bias"), dtype),
+        },
+        "conv2": {
+            "w": jnp.asarray(get("model.encoder.conv2.weight"), dtype),
+            "b": jnp.asarray(get("model.encoder.conv2.bias"), dtype),
+        },
+        "pos_embed": enc_pos,
+        "blocks": stack(enc_blocks),
+        "ln_post": ln("model.encoder.layer_norm"),
+    }
+    decoder = {
+        "token_embed": jnp.asarray(get("model.decoder.embed_tokens.weight"), dtype),
+        "pos_embed": jnp.asarray(get("model.decoder.embed_positions.weight"), dtype),
+        "blocks": stack(dec_blocks),
+        "ln": ln("model.decoder.layer_norm"),
+    }
+    return {"encoder": encoder, "decoder": decoder}

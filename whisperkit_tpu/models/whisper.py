@@ -1,0 +1,373 @@
+"""Whisper encoder/decoder, TPU-native (pure JAX, functional).
+
+Reference: Sources/WhisperKit/Core/AudioEncoder.swift (CoreML
+AudioEncoder.mlmodelc, :42-63) and TextDecoder.swift (CoreML KV-cached
+single-token decoder, :299-900). Here both are from-scratch JAX modules:
+
+  * parameters are plain pytrees (dicts of jnp arrays), bf16 by default
+  * transformer layers are STACKED along a leading layer axis and driven by
+    `lax.scan` — one traced layer body regardless of depth (compile time and
+    code size independent of n_layers; standard TPU practice)
+  * the decoder exposes prefill (T tokens at once) and incremental step
+    (T=1, KV-cache via `dynamic_update_slice`) entry points that the jitted
+    decode loop composes
+  * cross-attention K/V are precomputed once per window
+  * cross-attention probabilities for selected alignment heads can be
+    captured for word-timestamp DTW
+
+Weight layout: linear weights stored as [in, out] (y = x @ w + b); conv
+weights in torch OIH layout consumed directly by lax.conv dimension numbers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperDims:
+    """Model dimensions (mirrors openai/whisper ModelDimensions)."""
+
+    n_mels: int = 80
+    n_vocab: int = 51865
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_text_state // self.n_text_head
+
+
+# Known variants (reference: Models.swift:39-88 ModelVariant; dims from the
+# Whisper paper / openai checkpoints).
+VARIANT_DIMS: dict[str, WhisperDims] = {
+    "tiny": WhisperDims(80, 51865, 1500, 384, 6, 4, 448, 384, 6, 4),
+    "tiny.en": WhisperDims(80, 51864, 1500, 384, 6, 4, 448, 384, 6, 4),
+    "base": WhisperDims(80, 51865, 1500, 512, 8, 6, 448, 512, 8, 6),
+    "base.en": WhisperDims(80, 51864, 1500, 512, 8, 6, 448, 512, 8, 6),
+    "small": WhisperDims(80, 51865, 1500, 768, 12, 12, 448, 768, 12, 12),
+    "small.en": WhisperDims(80, 51864, 1500, 768, 12, 12, 448, 768, 12, 12),
+    "medium": WhisperDims(80, 51865, 1500, 1024, 16, 24, 448, 1024, 16, 24),
+    "medium.en": WhisperDims(80, 51864, 1500, 1024, 16, 24, 448, 1024, 16, 24),
+    "large-v2": WhisperDims(80, 51865, 1500, 1280, 20, 32, 448, 1280, 20, 32),
+    "large-v3": WhisperDims(128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 32),
+    "large-v3-turbo": WhisperDims(128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 4),
+    "distil-large-v3": WhisperDims(128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 2),
+}
+
+
+def sinusoidal_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper encoder positional embedding (fixed sinusoids)."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _linear(key, d_in, d_out, dtype, bias=True):
+    w = jax.random.normal(key, (d_in, d_out), jnp.float32) * (d_in**-0.5)
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _ln(d, dtype):
+    return {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+
+
+def _attn_params(key, d, dtype, cross=False):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": _linear(kq, d, d, dtype),
+        "k": _linear(kk, d, d, dtype, bias=False),  # whisper: no k bias
+        "v": _linear(kv, d, d, dtype),
+        "out": _linear(ko, d, d, dtype),
+    }
+
+
+def _block_params(key, d, dtype, cross: bool):
+    keys = jax.random.split(key, 6)
+    p = {
+        "attn_ln": _ln(d, dtype),
+        "attn": _attn_params(keys[0], d, dtype),
+        "mlp_ln": _ln(d, dtype),
+        "fc1": _linear(keys[1], d, 4 * d, dtype),
+        "fc2": _linear(keys[2], 4 * d, d, dtype),
+    }
+    if cross:
+        p["cross_attn_ln"] = _ln(d, dtype)
+        p["cross_attn"] = _attn_params(keys[3], d, dtype, cross=True)
+    return p
+
+
+def _stack_blocks(blocks: list[PyTree]) -> PyTree:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_params(key, dims: WhisperDims, dtype=jnp.bfloat16) -> PyTree:
+    """Random init with the exact parameter structure of a loaded checkpoint."""
+    k = jax.random.split(key, 8)
+    d_a, d_t = dims.n_audio_state, dims.n_text_state
+    enc_blocks = [
+        _block_params(kk, d_a, dtype, cross=False)
+        for kk in jax.random.split(k[0], dims.n_audio_layer)
+    ]
+    dec_blocks = [
+        _block_params(kk, d_t, dtype, cross=True)
+        for kk in jax.random.split(k[1], dims.n_text_layer)
+    ]
+    conv_scale = (3 * dims.n_mels) ** -0.5
+    encoder = {
+        # torch conv1d layout [out, in, kernel]
+        "conv1": {
+            "w": (jax.random.normal(k[2], (d_a, dims.n_mels, 3)) * conv_scale).astype(dtype),
+            "b": jnp.zeros((d_a,), dtype),
+        },
+        "conv2": {
+            "w": (jax.random.normal(k[3], (d_a, d_a, 3)) * (3 * d_a) ** -0.5).astype(dtype),
+            "b": jnp.zeros((d_a,), dtype),
+        },
+        "pos_embed": jnp.asarray(sinusoidal_positions(dims.n_audio_ctx, d_a), dtype),
+        "blocks": _stack_blocks(enc_blocks),
+        "ln_post": _ln(d_a, dtype),
+    }
+    decoder = {
+        "token_embed": (jax.random.normal(k[4], (dims.n_vocab, d_t)) * d_t**-0.5).astype(dtype),
+        "pos_embed": (jax.random.normal(k[5], (dims.n_text_ctx, d_t)) * 0.01).astype(dtype),
+        "blocks": _stack_blocks(dec_blocks),
+        "ln": _ln(d_t, dtype),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+# ---------------------------------------------------------------------------
+# Forward primitives
+# ---------------------------------------------------------------------------
+
+
+# f32 matmuls use true-f32 MXU passes (JAX's default precision is bf16-ish on
+# both TPU and CPU, which breaks parity tests); bf16 inputs are unaffected.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def layer_norm(x, p, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def dense(x, p):
+    y = jnp.dot(x, p["w"], precision=_HI)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _split_heads(x, n_head):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)  # [B,H,T,Dh]
+
+
+def _merge_heads(x):
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _attend(q, k, v, mask=None, capture_probs=False):
+    """q:[B,H,Tq,Dh] k,v:[B,H,Tk,Dh]; whisper scales q and k by dh^-0.25."""
+    scale = q.shape[-1] ** -0.25
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k * scale,
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v, precision=_HI)
+    if capture_probs:
+        return out, probs
+    return out
+
+
+def self_attention(x, p, n_head, mask=None):
+    q = _split_heads(dense(x, p["q"]), n_head)
+    k = _split_heads(dense(x, p["k"]), n_head)
+    v = _split_heads(dense(x, p["v"]), n_head)
+    out = _attend(q, k, v, mask)
+    return dense(_merge_heads(out), p["out"])
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _conv1d(x, w, b, stride):
+    """x: [B, C_in, T] torch-layout conv, w: [C_out, C_in, K], 'same' padding."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(w.dtype),
+        w,
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_HI,
+    )
+    return y + b[None, :, None]
+
+
+def encoder_forward(params: PyTree, mel: jnp.ndarray, dims: WhisperDims) -> jnp.ndarray:
+    """mel [B, n_mels, 3000] → encoder output [B, 1500, d_audio].
+
+    Reference behavior: AudioEncoder.swift:42-63 (conv×2 + transformer + LN).
+    """
+    enc = params["encoder"]
+    x = jax.nn.gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
+    x = x.transpose(0, 2, 1)  # [B, T=1500, D]
+    x = x + enc["pos_embed"].astype(x.dtype)
+
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        h = layer_norm(x, bp["attn_ln"])
+        x = x + self_attention(h, bp["attn"], n_head)
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def compute_cross_kv(params: PyTree, enc_out: jnp.ndarray, dims: WhisperDims):
+    """Precompute per-layer cross-attention K/V from encoder output.
+
+    Returns (k, v): each [L, B, H, 1500, Dh].
+    """
+    n_head = dims.n_text_head
+
+    def per_layer(bp):
+        k = _split_heads(dense(enc_out, bp["cross_attn"]["k"]), n_head)
+        v = _split_heads(dense(enc_out, bp["cross_attn"]["v"]), n_head)
+        return k, v
+
+    return jax.vmap(per_layer)(params["decoder"]["blocks"])
+
+
+def init_kv_cache(dims: WhisperDims, batch: int, dtype=jnp.bfloat16):
+    """Self-attention KV cache [L, B, H, n_text_ctx, Dh] ×2.
+
+    Reference: TextDecoder.swift:109-161 allocates keyCache/valueCache
+    [1, kvDim, 1, 448]; here the cache is batched and laid out for MXU
+    attention, updated in place via dynamic_update_slice (the reference's
+    concurrentPerform scatter, TextDecoder.swift:218-270, becomes one op).
+    """
+    shape = (
+        dims.n_text_layer,
+        batch,
+        dims.n_text_head,
+        dims.n_text_ctx,
+        dims.head_dim,
+    )
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def decoder_forward(
+    params: PyTree,
+    tokens: jnp.ndarray,  # [B, T] int32
+    pos_offset,  # scalar int: position of tokens[:, 0]
+    kv_k,  # [L, B, H, S, Dh]
+    kv_v,
+    cross_k,  # [L, B, H, 1500, Dh]
+    cross_v,
+    dims: WhisperDims,
+    capture_alignment: bool = False,
+    alignment_heads: Optional[jnp.ndarray] = None,  # [A, 2] (layer, head)
+):
+    """Run T tokens through the decoder, updating the KV cache at
+    [pos_offset, pos_offset+T). Works for prefill (T=prompt) and step (T=1).
+
+    Returns (logits [B, T, V] f32, (kv_k, kv_v), cross_probs or None).
+    cross_probs: [L, B, H, T, 1500] f32 softmax probs (all heads; caller
+    gathers alignment heads) — only when capture_alignment.
+    """
+    dec = params["decoder"]
+    b, t = tokens.shape
+    n_head = dims.n_text_head
+    s_max = kv_k.shape[3]
+
+    x = dec["token_embed"][tokens]
+    pos = jax.lax.dynamic_slice_in_dim(dec["pos_embed"], pos_offset, t, 0)
+    x = (x + pos[None]).astype(kv_k.dtype)
+
+    # causal mask within the new tokens + visibility of all cached positions
+    # key positions: 0..S-1; query i (absolute pos_offset+i) attends keys <= pos_offset+i
+    key_pos = jnp.arange(s_max)[None, :]
+    query_pos = pos_offset + jnp.arange(t)[:, None]
+    mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
+
+    def block(x, layer_inputs):
+        bp, kk, vv, ck, cv = layer_inputs
+        # self-attention with cache update
+        h = layer_norm(x, bp["attn_ln"])
+        q = _split_heads(dense(h, bp["attn"]["q"]), n_head)
+        k_new = _split_heads(dense(h, bp["attn"]["k"]), n_head)
+        v_new = _split_heads(dense(h, bp["attn"]["v"]), n_head)
+        kk = jax.lax.dynamic_update_slice(kk, k_new.astype(kk.dtype), (0, 0, pos_offset, 0))
+        vv = jax.lax.dynamic_update_slice(vv, v_new.astype(vv.dtype), (0, 0, pos_offset, 0))
+        attn = _attend(q, kk, vv, mask)
+        x = x + dense(_merge_heads(attn), bp["attn"]["out"])
+
+        # cross-attention (K/V precomputed)
+        h = layer_norm(x, bp["cross_attn_ln"])
+        cq = _split_heads(dense(h, bp["cross_attn"]["q"]), n_head)
+        cross_out, cross_probs = _attend(cq, ck, cv, capture_probs=True)
+        x = x + dense(_merge_heads(cross_out), bp["cross_attn"]["out"])
+
+        # mlp
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        probs_out = cross_probs if capture_alignment else None
+        return x, (kk, vv, probs_out)
+
+    def scan_block(x, xs):
+        bp, kk, vv, ck, cv = xs
+        x, (kk, vv, probs) = block(x, (bp, kk, vv, ck, cv))
+        return x, (kk, vv, probs)
+
+    x, (kv_k, kv_v, cross_probs) = jax.lax.scan(
+        scan_block, x, (dec["blocks"], kv_k, kv_v, cross_k, cross_v)
+    )
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.einsum(
+        "btd,vd->btv", x, dec["token_embed"],
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+    return logits, (kv_k, kv_v), cross_probs
