@@ -7,12 +7,18 @@ Mirrors the reference's CI approach of testing on whatever host runs the suite
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# A sitecustomize hook may have imported jax and registered a TPU backend
+# before this conftest runs; steer backend selection to CPU regardless.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

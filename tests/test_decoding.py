@@ -1,0 +1,222 @@
+"""Decoding stack: filters, sampler, jitted loop, fallback.
+
+Reference test model: UnitTests.swift logits-filter tests (:1980-2115),
+decoding-options tests (:1377-1719), fallback tests (:768-878).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from whisperkit_tpu.decoding.filters import (
+    apply_suppress_blank,
+    apply_timestamp_rules,
+    language_token_mask,
+    suppress_tokens_bias,
+)
+from whisperkit_tpu.decoding.loop import (
+    DecodeScalars,
+    decode_loop,
+    detect_language_logits,
+    encode_window,
+)
+from whisperkit_tpu.decoding.sampler import sample_token
+from whisperkit_tpu.models.whisper import WhisperDims, init_params
+from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab
+
+V = 207
+SP = special_tokens_for_vocab(V)
+DIMS = WhisperDims(80, V, 1500, 64, 4, 2, 64, 64, 4, 2)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), DIMS)
+
+
+@pytest.fixture(scope="module")
+def encoded(params):
+    mel = jnp.zeros((2, 80, 3000), jnp.float32)
+    return encode_window(params, mel, DIMS)
+
+
+def _scalars(temperature=0.0, max_initial=1500, first_thresh=float("-inf"), seed=0):
+    return DecodeScalars(
+        temperature=jnp.float32(temperature),
+        max_initial_timestamp_index=jnp.int32(max_initial),
+        first_token_logprob_threshold=jnp.float32(first_thresh),
+        rng_key=jax.random.PRNGKey(seed),
+    )
+
+
+# -- filters ----------------------------------------------------------------
+
+
+def test_suppress_tokens_bias():
+    bias = suppress_tokens_bias(V, [3, 5])
+    assert bias[3] == float("-inf") and bias[5] == float("-inf")
+    assert bias[4] == 0.0
+
+
+def test_suppress_blank_only_at_begin():
+    logits = jnp.zeros((1, V))
+    out = apply_suppress_blank(logits, SP, jnp.asarray(True))
+    assert np.isneginf(np.asarray(out)[0, SP.eot])
+    out2 = apply_suppress_blank(logits, SP, jnp.asarray(False))
+    assert np.asarray(out2)[0, SP.eot] == 0.0
+
+
+def _run_ts_rules(token_buf, pos, sample_begin=2, max_initial=1500):
+    logits = jnp.zeros((1, V))
+    tokens = jnp.asarray([token_buf], jnp.int32)
+    return np.asarray(
+        apply_timestamp_rules(
+            logits, tokens, jnp.asarray(pos), sample_begin, SP, jnp.asarray(max_initial)
+        )
+    )[0]
+
+
+def test_ts_rules_first_token_must_be_timestamp():
+    out = _run_ts_rules([SP.sot, SP.transcribe, 0, 0], pos=2)
+    assert np.isneginf(out[: SP.timestamp_begin]).all()
+    assert not np.isneginf(out[SP.timestamp_begin])
+
+
+def test_ts_rules_max_initial_cap():
+    out = _run_ts_rules([SP.sot, SP.transcribe, 0, 0], pos=2, max_initial=2)
+    assert not np.isneginf(out[SP.timestamp_begin + 2])
+    assert np.isneginf(out[SP.timestamp_begin + 3])
+
+
+def test_ts_rules_after_initial_timestamp_masks_timestamps():
+    # sampled: [ts0] — the segment opener counts as a "pair" with the
+    # sequence start, so another timestamp is masked and text is required
+    buf = [SP.sot, SP.transcribe, SP.timestamp_begin, 0]
+    out = _run_ts_rules(buf, pos=3)
+    assert np.isneginf(out[SP.timestamp_begin :]).all()
+    assert not np.isneginf(out[5])
+
+
+def test_ts_rules_after_mid_stream_lone_timestamp_masks_text():
+    # sampled: [text, ts1] → must complete the pair: text masked, and (as in
+    # openai's rule) once all text is masked the sum-probability rule forces
+    # a timestamp, so only timestamps >= ts1 survive
+    buf = [SP.sot, SP.transcribe, 5, SP.timestamp_begin + 1, 0]
+    out = _run_ts_rules(buf, pos=4)
+    assert np.isneginf(out[: SP.eot]).all()
+    assert not np.isneginf(out[SP.timestamp_begin + 1])
+    assert np.isneginf(out[SP.timestamp_begin])  # monotonicity floor
+
+
+def test_ts_rules_after_pair_masks_timestamps():
+    # sampled: [text, ts1, ts1] → pair complete: timestamps masked, text ok
+    buf = [SP.sot, SP.transcribe, 5, SP.timestamp_begin + 1, SP.timestamp_begin + 1, 0]
+    out = _run_ts_rules(buf, pos=5)
+    assert np.isneginf(out[SP.timestamp_begin :]).all()
+    assert not np.isneginf(out[5])
+
+
+def test_ts_rules_monotonic():
+    # after [ts2, text], timestamps < 3 are masked (ts2 emitted, pair open)
+    buf = [SP.sot, SP.transcribe, SP.timestamp_begin + 2, 7, 0, 0]
+    out = _run_ts_rules(buf, pos=4)
+    assert np.isneginf(out[SP.timestamp_begin + 2])
+    assert not np.isneginf(out[SP.timestamp_begin + 3])
+
+
+def test_language_mask():
+    mask = language_token_mask(SP)
+    assert mask[SP.language_begin] == 0.0
+    assert np.isneginf(mask[SP.sot])
+    assert np.isneginf(mask[0])
+
+
+# -- sampler ----------------------------------------------------------------
+
+
+def test_sampler_greedy():
+    logits = jnp.asarray([[1.0, 5.0, 2.0]])
+    tok, lp = sample_token(logits, jnp.float32(0.0), jax.random.PRNGKey(0), top_k=2)
+    assert int(tok[0]) == 1
+    assert float(lp[0]) == pytest.approx(float(jax.nn.log_softmax(logits)[0, 1]), abs=1e-5)
+
+
+def test_sampler_temperature_top_k():
+    logits = jnp.asarray([[0.0, 10.0, 9.5, -50.0]])
+    keys = [jax.random.PRNGKey(i) for i in range(20)]
+    toks = {int(sample_token(logits, jnp.float32(1.0), k, top_k=2)[0][0]) for k in keys}
+    assert toks <= {1, 2}  # restricted to top-2
+    assert len(toks) == 2  # stochastic
+
+
+# -- jitted loop ------------------------------------------------------------
+
+
+def test_decode_loop_shapes_and_eot(params, encoded):
+    _, ck, cv = encoded
+    prompt = jnp.asarray([[SP.sot, SP.transcribe], [SP.sot, SP.transcribe]], jnp.int32)
+    out = decode_loop(
+        params, ck, cv, prompt, jnp.zeros((V,), jnp.float32), _scalars(),
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=12, top_k=5,
+        sot_index=0, use_timestamp_rules=True, suppress_blank=False,
+    )
+    toks = np.asarray(out.tokens)
+    assert toks.shape == (2, 14)
+    assert (toks[:, :2] == np.asarray(prompt)).all()
+    # first sampled token obeys timestamp rule
+    assert (toks[:, 2] >= SP.timestamp_begin).all()
+    assert 0 <= float(out.no_speech_prob[0]) <= 1
+
+
+def test_decode_loop_deterministic(params, encoded):
+    _, ck, cv = encoded
+    prompt = jnp.asarray([[SP.sot, SP.transcribe]] * 2, jnp.int32)
+    kwargs = dict(
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=8, top_k=5,
+        sot_index=0, use_timestamp_rules=False, suppress_blank=False,
+    )
+    a = decode_loop(params, ck, cv, prompt, jnp.zeros((V,)), _scalars(0.8, seed=7), **kwargs)
+    b = decode_loop(params, ck, cv, prompt, jnp.zeros((V,)), _scalars(0.8, seed=7), **kwargs)
+    assert (np.asarray(a.tokens) == np.asarray(b.tokens)).all()
+
+
+def test_decode_loop_batch_rows_independent(params, encoded):
+    """Row 0 of a batch-2 decode must equal a batch-1 decode of the same input."""
+    _, ck, cv = encoded
+    prompt2 = jnp.asarray([[SP.sot, SP.transcribe]] * 2, jnp.int32)
+    kwargs = dict(
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=8, top_k=5,
+        sot_index=0, use_timestamp_rules=True, suppress_blank=False,
+    )
+    both = decode_loop(params, ck, cv, prompt2, jnp.zeros((V,)), _scalars(), **kwargs)
+    single = decode_loop(
+        params, ck[:, :1], cv[:, :1], prompt2[:1], jnp.zeros((V,)), _scalars(), **kwargs
+    )
+    assert (np.asarray(both.tokens)[0] == np.asarray(single.tokens)[0]).all()
+
+
+def test_decode_loop_alignment_capture(params, encoded):
+    _, ck, cv = encoded
+    prompt = jnp.asarray([[SP.sot, SP.transcribe]], jnp.int32)
+    out = decode_loop(
+        params, ck[:, :1], cv[:, :1], prompt, jnp.zeros((V,)), _scalars(),
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=6, top_k=5,
+        sot_index=0, use_timestamp_rules=False, suppress_blank=False,
+        alignment_heads=((0, 1), (1, 2)),
+    )
+    assert out.alignment is not None
+    al = np.asarray(out.alignment)
+    assert al.shape == (8, 1, 2, 1500)
+    # captured rows are probability distributions
+    assert al[0, 0, 0].sum() == pytest.approx(1.0, abs=1e-3)
+
+
+def test_detect_language_probs(params, encoded):
+    _, ck, cv = encoded
+    probs = np.asarray(
+        detect_language_logits(params, ck, cv, dims=DIMS, special=SP)
+    )
+    assert probs.shape == (2, SP.n_languages)
+    assert probs.sum(axis=-1) == pytest.approx(np.ones(2), abs=1e-3)

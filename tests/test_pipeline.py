@@ -1,0 +1,133 @@
+"""End-to-end pipeline tests with a random tiny model.
+
+Reference test model: FunctionalTests.swift (:9-210) — RTF smoke, batch
+path/array APIs with error mixing — and UnitTests decoding-option tests.
+The reference runs the real `tiny` CoreML model in CI; with no network
+access we run a random-weight model of the same structure, which exercises
+every code path (mel → encode → jitted decode loop → seek → segments).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from whisperkit_tpu.core.configurations import DecodingOptions
+from whisperkit_tpu.models.whisper import WhisperDims, init_params
+from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+DIMS = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    heads = np.asarray([[0, 1], [1, 2]], np.int32)
+    return WhisperPipeline(dims=DIMS, params=params, alignment_heads=heads)
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(42)
+    return (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+
+
+OPTS = dict(sample_length=10, language="en")
+
+
+def test_transcribe_returns_segments(pipe, audio):
+    res = pipe.transcribe(audio, DecodingOptions(**OPTS))
+    assert res.segments
+    assert res.language == "en"
+    assert res.timings.full_pipeline > 0
+    assert res.timings.input_audio_seconds == pytest.approx(5.0)
+    assert all(s.end >= s.start for s in res.segments)
+
+
+def test_transcribe_without_timestamps(pipe, audio):
+    res = pipe.transcribe(
+        audio, DecodingOptions(without_timestamps=True, **OPTS)
+    )
+    assert len(res.segments) == 1
+    sp = pipe.tokenizer.special
+    assert all(t < sp.timestamp_begin for t in res.segments[0].tokens)
+
+
+def test_transcribe_batch_preserves_errors(pipe, audio):
+    out = pipe.transcribe([audio, "/nonexistent/file.wav", audio], DecodingOptions(**OPTS))
+    assert len(out) == 3
+    assert not isinstance(out[0], Exception)
+    assert isinstance(out[1], Exception)
+    assert not isinstance(out[2], Exception)
+
+
+def test_transcribe_vad_chunked_long_audio(pipe):
+    rng = np.random.default_rng(7)
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    res = pipe.transcribe(
+        long_audio, DecodingOptions(chunking_strategy="vad", **OPTS)
+    )
+    assert res.segments
+    # chunk seek offsets re-based: some segment must start after 30 s
+    assert max(s.start for s in res.segments) > 25.0
+
+
+def test_word_timestamps(pipe, audio):
+    res = pipe.transcribe(
+        audio, DecodingOptions(word_timestamps=True, **OPTS)
+    )
+    words = res.all_words
+    assert words
+    for w in words:
+        assert w.end >= w.start >= 0
+        assert 0 <= w.probability <= 1.01
+
+
+def test_clip_timestamps(pipe, audio):
+    res = pipe.transcribe(
+        audio, DecodingOptions(clip_timestamps=[1.0, 3.0], **OPTS)
+    )
+    assert res.segments
+    assert all(s.start >= 1.0 - 1e-6 for s in res.segments)
+
+
+def test_callback_early_stop(pipe):
+    rng = np.random.default_rng(3)
+    long_audio = (rng.standard_normal(16000 * 40) * 0.1).astype(np.float32)
+    calls = []
+
+    def cb(progress):
+        calls.append(progress.window_id)
+        return False  # stop after first window
+
+    pipe.transcribe(long_audio, DecodingOptions(**OPTS), callback=cb)
+    assert len(calls) == 1
+
+
+def test_detect_language_api(pipe, audio):
+    lang, probs = pipe.detect_language(audio)
+    assert lang in dict(probs)
+    assert abs(sum(probs.values())) <= 1.01
+
+
+def test_prompt_and_prefix_tokens(pipe, audio):
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(prompt_tokens=[5, 6, 7], prefix_tokens=[9], **OPTS),
+    )
+    assert res.segments
+
+
+def test_temperature_fallback_runs(pipe, audio):
+    # thresholds chosen so the first rung always fails → ladder exercised
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(
+            logprob_threshold=0.0,  # avg logprob always < 0
+            temperature_fallback_count=2,
+            no_speech_threshold=None,
+            **OPTS,
+        ),
+    )
+    assert res.segments
+    assert res.segments[0].temperature > 0.0

@@ -1,0 +1,226 @@
+"""The jitted Whisper decode loop — everything on-device.
+
+Reference: Sources/WhisperKit/Core/TextDecoder.swift `decodeText` (:541-855).
+The reference pays one host↔ANE round trip per token (predict → host filters
+→ host sample → host KV scatter). Here the entire token loop — decoder step,
+logits filters, sampling, KV update, stop checks — is a single
+`lax.while_loop` inside one jitted function, so a 30 s window costs one
+dispatch regardless of token count (SURVEY.md §7 "hard parts").
+
+Batching: every function here is batched over B windows (the reference's
+TaskGroup of batch-of-1 decodes, WhisperKit.swift:741-805, becomes a real
+batch dimension feeding the MXU). Per-row `done` masks handle heterogeneous
+finish times.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperkit_tpu.decoding.filters import (
+    apply_suppress_blank,
+    apply_timestamp_rules,
+)
+from whisperkit_tpu.decoding.sampler import sample_token
+from whisperkit_tpu.models.whisper import (
+    WhisperDims,
+    compute_cross_kv,
+    decoder_forward,
+    encoder_forward,
+)
+from whisperkit_tpu.text.tokenizer import SpecialTokens
+
+
+class DecodeScalars(NamedTuple):
+    """Per-call traced scalars — changing these does NOT recompile."""
+
+    temperature: jnp.ndarray  # f32
+    max_initial_timestamp_index: jnp.ndarray  # i32 (timestamp-token offset cap)
+    first_token_logprob_threshold: jnp.ndarray  # f32 (-inf disables)
+    rng_key: jnp.ndarray
+
+
+class DecodeLoopOutput(NamedTuple):
+    tokens: jnp.ndarray  # [B, TOTAL] i32 (prompt + sampled, EOT-padded)
+    token_logprobs: jnp.ndarray  # [B, TOTAL] f32 (0 in prompt region)
+    length: jnp.ndarray  # scalar i32: final write position (max over rows)
+    no_speech_prob: jnp.ndarray  # [B] f32
+    alignment: Optional[jnp.ndarray]  # [TOTAL, B, A, 1500] f32 or None
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def encode_window(params, mel: jnp.ndarray, dims: WhisperDims):
+    """mel [B, n_mels, 3000] → (enc_out [B,1500,D], cross_k, cross_v).
+
+    Split from the decode loop so the temperature-fallback ladder
+    (TranscribeTask.swift:316-411) re-decodes without re-encoding.
+    """
+    enc_out = encoder_forward(params, mel, dims)
+    cross_k, cross_v = compute_cross_kv(params, enc_out, dims)
+    return enc_out, cross_k, cross_v
+
+
+def _gather_alignment(cross_probs, align_heads: np.ndarray):
+    """cross_probs [L,B,H,T,F] → [T,B,A,F] for the static (layer, head) pairs."""
+    sel = cross_probs[align_heads[:, 0], :, align_heads[:, 1]]  # [A,B,T,F]
+    return sel.transpose(2, 1, 0, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims",
+        "sample_begin",
+        "max_new_tokens",
+        "top_k",
+        "sot_index",
+        "use_timestamp_rules",
+        "suppress_blank",
+        "special",
+        "alignment_heads",
+    ),
+)
+def decode_loop(
+    params,
+    cross_k,  # [L, B, H, 1500, Dh]
+    cross_v,
+    prompt: jnp.ndarray,  # [B, P] i32
+    suppress_bias: jnp.ndarray,  # [V] f32 additive
+    scalars: DecodeScalars,
+    *,
+    dims: WhisperDims,
+    special: SpecialTokens,
+    sample_begin: int,  # == P
+    max_new_tokens: int,
+    top_k: int,
+    sot_index: int,
+    use_timestamp_rules: bool,
+    suppress_blank: bool,
+    alignment_heads: Optional[tuple] = None,  # tuple of (layer, head) or None
+) -> DecodeLoopOutput:
+    b, p = prompt.shape
+    assert p == sample_begin
+    total = sample_begin + max_new_tokens
+    n_head = dims.n_text_head
+    capture = alignment_heads is not None
+    heads_np = np.asarray(alignment_heads, np.int32) if capture else None
+
+    kv_shape = (dims.n_text_layer, b, n_head, total, dims.head_dim)
+    kv_k = jnp.zeros(kv_shape, jnp.bfloat16)
+    kv_v = jnp.zeros(kv_shape, jnp.bfloat16)
+
+    # ---- prefill -----------------------------------------------------------
+    logits, (kv_k, kv_v), cross_probs = decoder_forward(
+        params, prompt, 0, kv_k, kv_v, cross_k, cross_v, dims,
+        capture_alignment=capture,
+    )
+    no_speech_prob = jax.nn.softmax(logits[:, sot_index], axis=-1)[:, special.nospeech]
+    last_logits = logits[:, -1]
+
+    tokens = jnp.concatenate(
+        [prompt.astype(jnp.int32), jnp.full((b, max_new_tokens), special.eot, jnp.int32)],
+        axis=1,
+    )
+    token_logprobs = jnp.zeros((b, total), jnp.float32)
+    if capture:
+        align = jnp.zeros((total, b, len(alignment_heads), cross_k.shape[3]), jnp.float32)
+        align = jax.lax.dynamic_update_slice(
+            align, _gather_alignment(cross_probs, heads_np), (0, 0, 0, 0)
+        )
+    else:
+        align = jnp.zeros((1, 1, 1, 1), jnp.float32)  # placeholder, uncarried shape
+
+    def apply_filters(logits_f, tokens_buf, pos):
+        logits_f = logits_f + suppress_bias[None, :]
+        at_begin = pos == sample_begin
+        if suppress_blank:
+            logits_f = apply_suppress_blank(logits_f, special, at_begin)
+        if use_timestamp_rules:
+            logits_f = apply_timestamp_rules(
+                logits_f, tokens_buf, pos, sample_begin, special,
+                scalars.max_initial_timestamp_index,
+            )
+        return logits_f
+
+    def cond(state):
+        pos, done = state[0], state[4]
+        return (pos < total) & ~jnp.all(done)
+
+    def body(state):
+        pos, tokens, tlp, (kv_k, kv_v), done, last_logits, key, align = state
+
+        filtered = apply_filters(last_logits, tokens, pos)
+        key, sub = jax.random.split(key)
+        token, logprob = sample_token(filtered, scalars.temperature, sub, top_k)
+
+        # stop checks (reference TextDecoder.swift:662-678): EOT, context cap
+        # (loop bound), first-token logprob floor.
+        first_fail = (pos == sample_begin) & (
+            logprob < scalars.first_token_logprob_threshold
+        )
+        token = jnp.where(done | first_fail, special.eot, token)
+        logprob = jnp.where(done | first_fail, 0.0, logprob)
+
+        tokens = jax.lax.dynamic_update_slice(tokens, token[:, None], (0, pos))
+        tlp = jax.lax.dynamic_update_slice(tlp, logprob[:, None], (0, pos))
+        done = done | first_fail | (token == special.eot)
+
+        logits, (kv_k, kv_v), cross_probs = decoder_forward(
+            params, token[:, None], pos, kv_k, kv_v, cross_k, cross_v, dims,
+            capture_alignment=capture,
+        )
+        if capture:
+            align = jax.lax.dynamic_update_slice(
+                align, _gather_alignment(cross_probs, heads_np), (pos, 0, 0, 0)
+            )
+        return (pos + 1, tokens, tlp, (kv_k, kv_v), done, logits[:, -1], key, align)
+
+    state = (
+        jnp.asarray(sample_begin, jnp.int32),
+        tokens,
+        token_logprobs,
+        (kv_k, kv_v),
+        jnp.zeros((b,), bool),
+        last_logits,
+        scalars.rng_key,
+        align,
+    )
+    pos, tokens, token_logprobs, _, done, _, _, align = jax.lax.while_loop(
+        cond, body, state
+    )
+    return DecodeLoopOutput(
+        tokens=tokens,
+        token_logprobs=token_logprobs,
+        length=pos,
+        no_speech_prob=no_speech_prob,
+        alignment=align if capture else None,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "special"))
+def detect_language_logits(
+    params, cross_k, cross_v, *, dims: WhisperDims, special: SpecialTokens
+) -> jnp.ndarray:
+    """One masked decode step from SOT → language probabilities [B, n_languages].
+
+    Reference: TextDecoder.swift:420-539 `detectLanguage` with
+    `LanguageLogitsFilter` (LogitsFilter.swift:245-276).
+    """
+    b = cross_k.shape[1]
+    total = 8  # tiny KV for a single step
+    kv_shape = (dims.n_text_layer, b, dims.n_text_head, total, dims.head_dim)
+    kv = (jnp.zeros(kv_shape, jnp.bfloat16), jnp.zeros(kv_shape, jnp.bfloat16))
+    prompt = jnp.full((b, 1), special.sot, jnp.int32)
+    logits, _, _ = decoder_forward(
+        params, prompt, 0, kv[0], kv[1], cross_k, cross_v, dims
+    )
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits[:, 0], special.language_begin, special.n_languages, axis=-1
+    )
+    return jax.nn.softmax(lang_logits, axis=-1)

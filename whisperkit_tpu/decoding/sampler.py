@@ -1,0 +1,40 @@
+"""Token sampling inside the jitted decode loop.
+
+Reference: Sources/WhisperKit/Core/Text/TokenSampler.swift —
+`GreedyTokenSampler` (:29-252): temperature 0 → argmax; temperature > 0 →
+softmax over top-k then multinomial (the reference's cumsum trick :42-83 is
+exactly `jax.random.categorical` over the top-k logits). The reference's
+`BeamSearchTokenSampler` is a `fatalError` stub (:254-290); beam search here
+is implemented for real in `decoding/beam.py`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_token(
+    logits: jnp.ndarray,  # [B, V] f32, already filtered
+    temperature: jnp.ndarray,  # traced scalar f32
+    key: jnp.ndarray,  # PRNG key
+    top_k: int = 5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens [B] i32, logprob-of-token [B] f32).
+
+    Both the greedy and stochastic branches are computed (they are cheap next
+    to the decoder matmuls) and selected with `where`, keeping the graph free
+    of data-dependent control flow.
+    """
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+    greedy = jnp.argmax(logits, axis=-1)
+
+    top_vals, top_idx = jax.lax.top_k(logits, top_k)  # [B, K]
+    safe_t = jnp.maximum(temperature, 1e-4)
+    choice = jax.random.categorical(key, top_vals / safe_t, axis=-1)  # [B]
+    sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=1)[:, 0]
+
+    token = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+    logprob = jnp.take_along_axis(logprobs, token[:, None], axis=1)[:, 0]
+    return token, logprob

@@ -1,0 +1,612 @@
+"""WhisperPipeline — the transcription façade + per-window transcribe engine.
+
+Reference: Sources/WhisperKit/Core/WhisperKit.swift (façade, :56-1019) and
+TranscribeTask.swift (seek-window loop + temperature fallback, :57-411).
+
+TPU-native differences from the reference (SURVEY.md §2.6):
+  * the reference fans VAD chunks out to a TaskGroup of batch-of-1 decodes;
+    here chunks are STACKED into a real batch dimension and decoded by one
+    jitted `lax.while_loop` with per-row done masks;
+  * the reference pays one host↔ANE round trip per token; here the whole
+    token loop runs on-device (decoding/loop.py);
+  * the temperature-fallback ladder re-invokes the same compiled decode fn
+    with a different traced temperature scalar — no recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from pathlib import Path
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperkit_tpu.audio.chunker import VADAudioChunker
+from whisperkit_tpu.audio.io import SAMPLE_RATE, load_audio, pad_or_trim
+from whisperkit_tpu.core.configurations import (
+    ChunkingStrategy,
+    DecodingOptions,
+    DecodingTask,
+    WhisperConfig,
+)
+from whisperkit_tpu.core.errors import ModelsUnavailable, TranscriptionFailed
+from whisperkit_tpu.core.logging import logging
+from whisperkit_tpu.core.modelstate import ModelState
+from whisperkit_tpu.core.results import (
+    DecodingFallback,
+    DecodingResult,
+    TranscriptionProgress,
+    TranscriptionResult,
+    TranscriptionSegment,
+)
+from whisperkit_tpu.core.timings import TranscriptionTimings
+from whisperkit_tpu.decoding.filters import non_speech_token_ids, suppress_tokens_bias
+from whisperkit_tpu.decoding.loop import (
+    DecodeScalars,
+    decode_loop,
+    detect_language_logits,
+    encode_window,
+)
+from whisperkit_tpu.models.whisper import WhisperDims, init_params
+from whisperkit_tpu.ops.mel import log_mel_spectrogram
+from whisperkit_tpu.text.languages import LANGUAGES
+from whisperkit_tpu.text.segment_seeker import (
+    FRAMES_PER_SECOND,
+    WINDOW_FRAMES,
+    find_seek_point_and_segments,
+)
+from whisperkit_tpu.text.tokenizer import FakeTokenizer, load_tokenizer
+from whisperkit_tpu.text.utils import compression_ratio_text
+
+WINDOW_SAMPLES = 480_000  # Constants.windowSamples (Models.swift:1457)
+MAX_TOKEN_CONTEXT = 224  # Constants.maxTokenContext (Models.swift:1334)
+_WINDOW_PADDING_FRAMES = 100  # skip trailing windows shorter than 1 s
+
+
+@dataclasses.dataclass
+class _WindowDecode:
+    """Per-window decode outcome after the fallback ladder."""
+
+    tokens: list[int]
+    logprobs: list[float]
+    avg_logprob: float
+    compression_ratio: float
+    no_speech_prob: float
+    temperature: float
+    language: str
+    alignment: Optional[np.ndarray] = None  # [T, A, 1500] (prompt+sampled)
+    sample_begin: int = 0
+
+
+class WhisperPipeline:
+    """Reference: `WhisperKit` class (WhisperKit.swift)."""
+
+    def __init__(
+        self,
+        config: Optional[WhisperConfig] = None,
+        *,
+        dims: Optional[WhisperDims] = None,
+        params=None,
+        tokenizer=None,
+        alignment_heads: Optional[np.ndarray] = None,
+        **kwargs,
+    ):
+        self.config = config or WhisperConfig(**kwargs)
+        self.model_state = ModelState.UNLOADED
+        self.dims: Optional[WhisperDims] = dims
+        self.params = params
+        self.tokenizer = tokenizer
+        self.alignment_heads = alignment_heads
+        self.timings = TranscriptionTimings()
+        self._suppress_cache: dict[tuple, jnp.ndarray] = {}
+        self._detected_language: Optional[str] = None
+
+        if params is not None and dims is not None:
+            if tokenizer is None:
+                self.tokenizer = FakeTokenizer(dims.n_vocab)
+            self.model_state = ModelState.LOADED
+        elif self.config.load:
+            self.load_models()
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def load_models(self) -> None:
+        """Resolve + load checkpoint and tokenizer.
+
+        Reference: WhisperKit.swift:358-442 `loadModels`.
+        """
+        from whisperkit_tpu.core.registry import resolve_model_folder
+        from whisperkit_tpu.models.loader import load_whisper
+
+        t0 = time.perf_counter()
+        self.model_state = ModelState.LOADING
+        folder = resolve_model_folder(
+            model=self.config.model,
+            model_repo=self.config.model_repo,
+            model_folder=self.config.model_folder,
+            download=self.config.download,
+        )
+        self.dims, self.params, heads = load_whisper(folder)
+        if self.alignment_heads is None:
+            self.alignment_heads = heads
+        try:
+            self.tokenizer = load_tokenizer(
+                folder, self.dims.n_vocab, self.config.tokenizer_folder
+            )
+        except FileNotFoundError:
+            logging.error("tokenizer files missing; using FakeTokenizer")
+            self.tokenizer = FakeTokenizer(self.dims.n_vocab)
+        self.timings.model_loading = time.perf_counter() - t0
+        self.model_state = ModelState.LOADED
+        if self.config.prewarm:
+            self.prewarm()
+
+    def prewarm(self) -> None:
+        """AOT-compile mel+encoder+decode for batch 1 (reference: prewarm
+        specialization, WhisperKit.swift:392-427)."""
+        self.model_state = ModelState.PREWARMING
+        t0 = time.perf_counter()
+        silent = np.zeros(WINDOW_SAMPLES, np.float32)
+        self._transcribe_array(silent, DecodingOptions(sample_length=4))
+        self.timings.encoder_specialization_time = time.perf_counter() - t0
+        self.model_state = ModelState.LOADED
+
+    def unload_models(self) -> None:
+        self.params = None
+        self.model_state = ModelState.UNLOADED
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.dims.n_vocab != 51864 if self.dims else True
+
+    # -- helpers ------------------------------------------------------------
+
+    def _suppress_bias(self, options: DecodingOptions) -> jnp.ndarray:
+        sp = self.tokenizer.special
+        ids = list(options.suppress_tokens or ())
+        if -1 in ids:
+            ids = [t for t in ids if t != -1] + non_speech_token_ids(sp, self.tokenizer)
+        key = tuple(sorted(set(ids)))
+        if key not in self._suppress_cache:
+            self._suppress_cache[key] = jnp.asarray(
+                suppress_tokens_bias(sp.n_vocab, key)
+            )
+        return self._suppress_cache[key]
+
+    def _build_prompt(self, options: DecodingOptions, language: str) -> tuple[list[int], int]:
+        """Prefill prompt tokens (reference: TextDecoder.swift:163-216).
+
+        Returns (tokens, sot_index).
+        """
+        sp = self.tokenizer.special
+        prompt: list[int] = []
+        if options.prompt_tokens:
+            keep = MAX_TOKEN_CONTEXT // 2 - 1
+            prompt = [sp.startofprev] + list(options.prompt_tokens)[-keep:]
+        sot_index = len(prompt)
+        prompt.append(sp.sot)
+        if self.is_multilingual and options.use_prefill_prompt:
+            prompt.append(sp.language_token(language))
+            prompt.append(
+                sp.translate if options.task == DecodingTask.TRANSLATE else sp.transcribe
+            )
+        if options.without_timestamps:
+            prompt.append(sp.notimestamps)
+        if options.prefix_tokens:
+            keep = MAX_TOKEN_CONTEXT // 2 - 1
+            prompt.extend(list(options.prefix_tokens)[-keep:])
+        return prompt, sot_index
+
+    def _decode_scalars(self, options: DecodingOptions, temperature: float, seed_step: int) -> DecodeScalars:
+        max_initial = (
+            int(round(options.max_initial_timestamp / 0.02))
+            if options.max_initial_timestamp is not None
+            else 1500
+        )
+        ft = (
+            options.first_token_log_prob_threshold
+            if options.first_token_log_prob_threshold is not None and temperature == 0.0
+            else float("-inf")
+        )
+        return DecodeScalars(
+            temperature=jnp.float32(temperature),
+            max_initial_timestamp_index=jnp.int32(max_initial),
+            first_token_logprob_threshold=jnp.float32(ft),
+            rng_key=jax.random.PRNGKey(options.seed + seed_step),
+        )
+
+    def _mel(self, window: np.ndarray) -> jnp.ndarray:
+        return log_mel_spectrogram(jnp.asarray(window), n_mels=self.dims.n_mels)
+
+    # -- language detection -------------------------------------------------
+
+    def detect_language(self, audio: Union[str, Path, np.ndarray]) -> tuple[str, dict[str, float]]:
+        """Reference: WhisperKit.swift:534-581 `detectLangauge` [sic]."""
+        if isinstance(audio, (str, Path)):
+            audio = load_audio(audio)
+        window = pad_or_trim(np.asarray(audio, np.float32)[:WINDOW_SAMPLES], WINDOW_SAMPLES)
+        mel = self._mel(window)[None]
+        _, ck, cv = encode_window(self.params, mel, self.dims)
+        probs = np.asarray(
+            detect_language_logits(
+                self.params, ck, cv, dims=self.dims, special=self.tokenizer.special
+            )
+        )[0]
+        order = np.argsort(probs)[::-1]
+        lang_probs = {LANGUAGES[i][0]: float(probs[i]) for i in order[:10]}
+        return LANGUAGES[int(order[0])][0], lang_probs
+
+    def _detect_language_from_encoded(self, ck, cv) -> str:
+        probs = np.asarray(
+            detect_language_logits(
+                self.params, ck[:, :1], cv[:, :1], dims=self.dims,
+                special=self.tokenizer.special,
+            )
+        )[0]
+        return LANGUAGES[int(np.argmax(probs))][0]
+
+    # -- decode with fallback -----------------------------------------------
+
+    def _decode_with_fallback(
+        self,
+        cross_k,
+        cross_v,
+        options: DecodingOptions,
+        language: str,
+        window_index: int,
+    ) -> list[_WindowDecode]:
+        """Temperature ladder over a batch of encoded windows.
+
+        Reference: TranscribeTask.swift:316-411 `decodeWithFallback`. Failed
+        rows are re-decoded at the next temperature; accepted rows keep their
+        first passing result.
+        """
+        sp = self.tokenizer.special
+        b = cross_k.shape[1]
+        prompt, sot_index = self._build_prompt(options, language)
+        prompt_arr = jnp.asarray([prompt] * b, jnp.int32)
+        suppress = self._suppress_bias(options)
+        max_new = min(options.sample_length, MAX_TOKEN_CONTEXT - len(prompt))
+        capture = options.word_timestamps and self.alignment_heads is not None
+        align_heads = (
+            tuple(map(tuple, np.asarray(self.alignment_heads)))
+            if capture
+            else None
+        )
+
+        results: list[Optional[_WindowDecode]] = [None] * b
+        for rung, temperature in enumerate(options.temperatures):
+            t0 = time.perf_counter()
+            scalars = self._decode_scalars(options, temperature, window_index * 101 + rung)
+            out = decode_loop(
+                self.params,
+                cross_k,
+                cross_v,
+                prompt_arr,
+                suppress,
+                scalars,
+                dims=self.dims,
+                special=sp,
+                sample_begin=len(prompt),
+                max_new_tokens=max_new,
+                top_k=options.top_k,
+                sot_index=sot_index,
+                use_timestamp_rules=not options.without_timestamps,
+                suppress_blank=options.suppress_blank,
+                alignment_heads=align_heads,
+            )
+            tokens_np = np.asarray(out.tokens)
+            lps_np = np.asarray(out.token_logprobs)
+            nsp_np = np.asarray(out.no_speech_prob)
+            align_np = np.asarray(out.alignment) if capture else None
+            self.timings.decoding_loop += time.perf_counter() - t0
+            if rung > 0:
+                self.timings.decoding_fallback += time.perf_counter() - t0
+                self.timings.total_decoding_fallbacks += b
+
+            any_pending = False
+            for i in range(b):
+                if results[i] is not None:
+                    continue
+                row = tokens_np[i, len(prompt):]
+                # sampled tokens up to and including first EOT
+                eots = np.nonzero(row == sp.eot)[0]
+                n = int(eots[0]) if len(eots) else len(row)
+                sampled = row[:n].tolist()
+                lps = lps_np[i, len(prompt) : len(prompt) + n].tolist()
+                eot_lp = (
+                    float(lps_np[i, len(prompt) + n]) if n < len(row) else 0.0
+                )
+                self.timings.total_decoding_loops += n + (1 if n < len(row) else 0)
+                avg_lp = (sum(lps) + eot_lp) / (n + 1) if n else eot_lp
+                text = self.tokenizer.decode(sampled)
+                cr = compression_ratio_text(text)
+                first_lp = lps[0] if lps else None
+                fallback = DecodingFallback.evaluate(
+                    logprob_threshold=options.logprob_threshold,
+                    first_token_logprob_threshold=options.first_token_log_prob_threshold,
+                    no_speech_threshold=options.no_speech_threshold,
+                    compression_ratio_threshold=options.compression_ratio_threshold,
+                    compression_ratio=cr,
+                    avg_logprob=avg_lp,
+                    first_token_logprob=first_lp,
+                    no_speech_prob=float(nsp_np[i]),
+                )
+                is_last_rung = rung == len(options.temperatures) - 1
+                if fallback is None or not fallback.need_fallback or is_last_rung:
+                    results[i] = _WindowDecode(
+                        tokens=sampled,
+                        logprobs=lps,
+                        avg_logprob=avg_lp,
+                        compression_ratio=cr,
+                        no_speech_prob=float(nsp_np[i]),
+                        temperature=temperature,
+                        language=language,
+                        alignment=align_np[: len(prompt) + n + 1, i] if capture else None,
+                        sample_begin=len(prompt),
+                    )
+                else:
+                    any_pending = True
+            if not any_pending:
+                break
+        return results  # type: ignore[return-value]
+
+    # -- transcribe ---------------------------------------------------------
+
+    def transcribe(
+        self,
+        audio: Union[str, Path, np.ndarray, Sequence],
+        decode_options: Optional[DecodingOptions] = None,
+        callback: Optional[Callable[[TranscriptionProgress], Optional[bool]]] = None,
+    ) -> Union[TranscriptionResult, list]:
+        """Transcribe a path, an array, or a list of either.
+
+        Reference: the `transcribe` overload family (WhisperKit.swift:586-812).
+        A list input returns a list of per-item results (exceptions preserved
+        per-item like the reference's batch API, WhisperKit.swift:644-660).
+        """
+        options = decode_options or DecodingOptions()
+        if isinstance(audio, (list, tuple)):
+            out = []
+            for item in audio:
+                try:
+                    out.append(self.transcribe(item, options, callback))
+                except Exception as e:  # batch keeps per-item failures
+                    out.append(e)
+            return out
+        t0 = time.perf_counter()
+        timings = TranscriptionTimings(pipeline_start=t0)
+        self.timings = timings
+        if isinstance(audio, (str, Path)):
+            audio = load_audio(audio)
+            timings.audio_loading = time.perf_counter() - t0
+        audio = np.asarray(audio, np.float32)
+        timings.input_audio_seconds = max(len(audio) / SAMPLE_RATE, 1e-3)
+
+        if self.params is None:
+            raise ModelsUnavailable("models not loaded")
+
+        use_vad = (
+            options.chunking_strategy == ChunkingStrategy.VAD
+            and len(audio) > WINDOW_SAMPLES
+        )
+        if use_vad:
+            result = self._transcribe_vad_chunked(audio, options, callback)
+        else:
+            result = self._transcribe_array(audio, options, callback)
+        timings.full_pipeline = time.perf_counter() - t0
+        result.timings = timings
+        return result
+
+    def _transcribe_vad_chunked(
+        self, audio: np.ndarray, options: DecodingOptions, callback=None
+    ) -> TranscriptionResult:
+        """VAD-chunk + batched decode (reference: WhisperKit.swift:867-931 →
+        TaskGroup; here one real batch)."""
+        chunker = VADAudioChunker()
+        chunks = chunker.chunk_all(audio, max_chunk_length=WINDOW_SAMPLES)
+        mels = []
+        metas = []
+        for c in chunks:
+            seg = c.audio_samples
+            window_frames = min(WINDOW_FRAMES, math.ceil(len(seg) / 160))
+            mels.append(self._mel(pad_or_trim(seg, WINDOW_SAMPLES)))
+            metas.append((c.seek_offset_index, window_frames))
+        self.timings.total_log_mel_runs += len(mels)
+        mel_batch = jnp.stack(mels)
+        _, ck, cv = encode_window(self.params, mel_batch, self.dims)
+        self.timings.total_encoding_runs += len(mels)
+
+        language = self._resolve_language(options, ck, cv)
+        decodes = self._decode_with_fallback(ck, cv, options, language, 0)
+        self.timings.total_decoding_windows += len(decodes)
+
+        all_segments: list[TranscriptionSegment] = []
+        sp = self.tokenizer.special
+        for (start_sample, window_frames), wd in zip(metas, decodes):
+            if self._should_skip_silent(wd, options):
+                continue
+            res = find_seek_point_and_segments(
+                tokens=wd.tokens,
+                token_logprobs=wd.logprobs,
+                special=sp,
+                time_offset=start_sample / SAMPLE_RATE,
+                window_frames=window_frames,
+                seek=start_sample // 160,
+                decode_fn=self.tokenizer.decode,
+                temperature=wd.temperature,
+                avg_logprob=wd.avg_logprob,
+                compression_ratio=wd.compression_ratio,
+                no_speech_prob=wd.no_speech_prob,
+                segment_id_start=len(all_segments),
+            )
+            segs = res.segments
+            if options.word_timestamps and wd.alignment is not None:
+                segs = self._add_word_timestamps(
+                    segs, wd, start_sample / SAMPLE_RATE, window_frames, options
+                )
+            all_segments.extend(segs)
+        text = "".join(s.text for s in all_segments)
+        return TranscriptionResult(
+            text=text.strip(), segments=all_segments, language=language
+        )
+
+    def _resolve_language(self, options: DecodingOptions, ck, cv) -> str:
+        if options.language:
+            return options.language
+        if not self.is_multilingual:
+            return "en"
+        if options.detect_language or options.language is None:
+            if self._detected_language is None:
+                self._detected_language = self._detect_language_from_encoded(ck, cv)
+            return self._detected_language
+        return "en"
+
+    def _should_skip_silent(self, wd: _WindowDecode, options: DecodingOptions) -> bool:
+        """openai-style no-speech window skip (mirrored by the reference's
+        silence acceptance, Models.swift:357-381)."""
+        if options.no_speech_threshold is None:
+            return False
+        if wd.no_speech_prob <= options.no_speech_threshold:
+            return False
+        if (
+            options.logprob_threshold is not None
+            and wd.avg_logprob >= options.logprob_threshold
+        ):
+            return False
+        return True
+
+    def _transcribe_array(
+        self,
+        audio: np.ndarray,
+        options: DecodingOptions,
+        callback=None,
+    ) -> TranscriptionResult:
+        """Sequential seek-window loop (reference: TranscribeTask.swift:57-296)."""
+        sp = self.tokenizer.special
+        content_frames = len(audio) // 160
+        seek_clips = self._prepare_seek_clips(options, content_frames)
+
+        all_segments: list[TranscriptionSegment] = []
+        language = options.language
+        window_index = 0
+
+        for clip_start, clip_end in seek_clips:
+            seek = clip_start
+            while seek < min(clip_end, content_frames):
+                remaining = content_frames - seek
+                if seek > clip_start and remaining < _WINDOW_PADDING_FRAMES:
+                    break  # trailing sliver (< 1 s), reference windowPadding
+                window = audio[seek * 160 : seek * 160 + WINDOW_SAMPLES]
+                window_frames = min(WINDOW_FRAMES, min(remaining, clip_end - seek))
+                t_mel = time.perf_counter()
+                mel = self._mel(pad_or_trim(window, WINDOW_SAMPLES))[None]
+                self.timings.log_mels += time.perf_counter() - t_mel
+                self.timings.total_log_mel_runs += 1
+                t_enc = time.perf_counter()
+                _, ck, cv = encode_window(self.params, mel, self.dims)
+                self.timings.encoding += time.perf_counter() - t_enc
+                self.timings.total_encoding_runs += 1
+
+                if language is None:
+                    language = self._resolve_language(options, ck, cv)
+
+                wd = self._decode_with_fallback(
+                    ck, cv, options, language, window_index
+                )[0]
+                self.timings.total_decoding_windows += 1
+                if self.timings.first_token_time == 0.0:
+                    self.timings.first_token_time = time.perf_counter()
+
+                if self._should_skip_silent(wd, options):
+                    seek += window_frames
+                    window_index += 1
+                    continue
+
+                res = find_seek_point_and_segments(
+                    tokens=wd.tokens,
+                    token_logprobs=wd.logprobs,
+                    special=sp,
+                    time_offset=seek / FRAMES_PER_SECOND,
+                    window_frames=window_frames,
+                    seek=seek,
+                    decode_fn=self.tokenizer.decode,
+                    temperature=wd.temperature,
+                    avg_logprob=wd.avg_logprob,
+                    compression_ratio=wd.compression_ratio,
+                    no_speech_prob=wd.no_speech_prob,
+                    segment_id_start=len(all_segments),
+                )
+                segs = res.segments
+                if options.word_timestamps and wd.alignment is not None:
+                    segs = self._add_word_timestamps(
+                        segs, wd, seek / FRAMES_PER_SECOND, window_frames, options
+                    )
+                all_segments.extend(segs)
+
+                advance = res.seek_advance_frames
+                if options.max_window_seek is not None:
+                    advance = min(
+                        advance, int(options.max_window_seek * FRAMES_PER_SECOND)
+                    )
+                advance = max(advance, 1)
+                seek += advance
+                window_index += 1
+
+                if callback is not None:
+                    progress = TranscriptionProgress(
+                        timings=self.timings,
+                        text=self.tokenizer.decode(wd.tokens),
+                        tokens=wd.tokens,
+                        temperature=wd.temperature,
+                        avg_logprob=wd.avg_logprob,
+                        compression_ratio=wd.compression_ratio,
+                        window_id=window_index,
+                    )
+                    if callback(progress) is False:
+                        seek = clip_end  # early stop (EarlyStopActor semantics)
+                        break
+
+        text = "".join(s.text for s in all_segments)
+        return TranscriptionResult(
+            text=text.strip(),
+            segments=all_segments,
+            language=language or "en",
+        )
+
+    def _prepare_seek_clips(
+        self, options: DecodingOptions, content_frames: int
+    ) -> list[tuple[int, int]]:
+        """clip_timestamps (seconds) → [start_frame, end_frame) pairs.
+
+        Reference: Extensions+Internal.swift:112-131 `prepareSeekClips`.
+        """
+        ts = list(options.clip_timestamps or ())
+        if not ts:
+            return [(0, content_frames)]
+        frames = [int(t * FRAMES_PER_SECOND) for t in ts]
+        if len(frames) % 2 == 1:
+            frames.append(content_frames)
+        return [(frames[i], frames[i + 1]) for i in range(0, len(frames), 2)]
+
+    def _add_word_timestamps(self, segments, wd, time_offset, window_frames, options):
+        from whisperkit_tpu.text.word_timestamps import add_word_timestamps
+
+        t0 = time.perf_counter()
+        try:
+            return add_word_timestamps(
+                segments=segments,
+                alignment=wd.alignment,
+                sample_begin=wd.sample_begin,
+                tokens=wd.tokens,
+                tokenizer=self.tokenizer,
+                language=wd.language,
+                time_offset=time_offset,
+                window_frames=window_frames,
+            )
+        finally:
+            self.timings.decoding_timestamp_alignment += time.perf_counter() - t0
