@@ -1,0 +1,95 @@
+"""Beam-search decoding.
+
+The reference declares BeamSearchTokenSampler but stubs it with fatalError
+(TokenSampler.swift:254-290); this implementation is real, so these tests
+are new coverage rather than ports.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from whisperkit_tpu.core.configurations import DecodingOptions
+from whisperkit_tpu.decoding.beam import beam_decode_loop
+from whisperkit_tpu.decoding.loop import DecodeScalars, decode_loop, encode_window
+from whisperkit_tpu.models.whisper import WhisperDims, init_params
+from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab
+
+V = 207
+SP = special_tokens_for_vocab(V)
+DIMS = WhisperDims(80, V, 1500, 64, 4, 2, 64, 64, 4, 2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    mel = jnp.zeros((2, 80, 3000), jnp.float32)
+    _, ck, cv = encode_window(params, mel, DIMS)
+    prompt = jnp.asarray([[SP.sot, SP.transcribe]] * 2, jnp.int32)
+    return params, ck, cv, prompt
+
+
+def _beam(params, ck, cv, prompt, k, max_new=8, **kw):
+    return beam_decode_loop(
+        params, ck, cv, prompt, jnp.zeros((V,)), jnp.int32(50),
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=max_new,
+        beam_size=k, sot_index=0, use_timestamp_rules=False,
+        suppress_blank=False, **kw,
+    )
+
+
+def test_beam_1_matches_greedy(setup):
+    params, ck, cv, prompt = setup
+    beam = _beam(params, ck, cv, prompt, k=1)
+    scalars = DecodeScalars(
+        temperature=jnp.float32(0.0),
+        max_initial_timestamp_index=jnp.int32(50),
+        first_token_logprob_threshold=jnp.float32(float("-inf")),
+        rng_key=jax.random.PRNGKey(0),
+    )
+    greedy = decode_loop(
+        params, ck, cv, prompt, jnp.zeros((V,)), scalars,
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=8, top_k=5,
+        sot_index=0, use_timestamp_rules=False, suppress_blank=False,
+    )
+    bt, gt = np.asarray(beam.tokens), np.asarray(greedy.tokens)
+    # identical as long as neither hit EOT mid-stream
+    n = 8
+    if (gt[:, 2:] == SP.eot).any():
+        n = int(np.argmax((gt[:, 2:] == SP.eot).any(0)))
+    assert (bt[:, 2 : 2 + n] == gt[:, 2 : 2 + n]).all()
+
+
+def test_beam_score_not_worse_than_greedy(setup):
+    """A wider beam's chosen hypothesis must score >= the greedy path."""
+    params, ck, cv, prompt = setup
+    b1 = _beam(params, ck, cv, prompt, k=1, max_new=10)
+    b4 = _beam(params, ck, cv, prompt, k=4, max_new=10)
+    assert (np.asarray(b4.sum_logprob) >= np.asarray(b1.sum_logprob) - 1e-3).all()
+
+
+def test_beam_timestamp_rules(setup):
+    params, ck, cv, prompt = setup
+    out = beam_decode_loop(
+        params, ck, cv, prompt, jnp.zeros((V,)), jnp.int32(50),
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=8,
+        beam_size=3, sot_index=0, use_timestamp_rules=True,
+        suppress_blank=False,
+    )
+    tk = np.asarray(out.tokens)
+    assert (tk[:, 2] >= SP.timestamp_begin).all()
+
+
+def test_pipeline_beam_option():
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    pipe = WhisperPipeline(dims=DIMS, params=params)
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(16000 * 4) * 0.1).astype(np.float32)
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(sample_length=8, language="en", beam_size=3),
+    )
+    assert res.segments

@@ -1,0 +1,151 @@
+"""Streaming transcriber, result writers, transcription utilities.
+
+Reference test model: UnitTests.swift streaming-timestamp tests (:2939-3025)
+and the AudioStreamTranscriber confirmation logic.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from whisperkit_tpu.core.configurations import DecodingOptions
+from whisperkit_tpu.core.results import (
+    TranscriptionResult,
+    TranscriptionSegment,
+    WordTiming,
+)
+from whisperkit_tpu.models.whisper import WhisperDims, init_params
+from whisperkit_tpu.pipelines.streaming import (
+    AudioStreamTranscriber,
+    simulate_stream,
+)
+from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+from whisperkit_tpu.text.transcription_utils import (
+    find_longest_common_prefix,
+    find_longest_different_suffix,
+    merge_transcription_results,
+    update_segment_timings,
+)
+from whisperkit_tpu.text.writers import WriteJSON, WriteSRT, WriteVTT, make_writer
+
+DIMS = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+
+
+def _wt(word, start, end):
+    return WordTiming(word=word, tokens=[1], start=start, end=end, probability=1.0)
+
+
+def _result():
+    seg = TranscriptionSegment(
+        id=0, start=1.0, end=2.5, text=" hello world", tokens=[5, 6],
+        words=[_wt(" hello", 1.0, 1.8), _wt(" world", 1.9, 2.5)],
+    )
+    return TranscriptionResult(text="hello world", segments=[seg], language="en")
+
+
+# -- writers ----------------------------------------------------------------
+
+
+def test_write_srt_format():
+    srt = WriteSRT().format(_result())
+    assert "1\n00:00:01,000 --> 00:00:01,800\nhello" in srt
+    assert "00:00:01,900 --> 00:00:02,500\nworld" in srt
+
+
+def test_write_vtt_format():
+    vtt = WriteVTT().format(_result())
+    assert vtt.startswith("WEBVTT")
+    assert "00:00:01.000 --> 00:00:01.800" in vtt
+
+
+def test_write_json_round_trip(tmp_path):
+    path = WriteJSON(tmp_path).write(_result(), "out")
+    data = json.loads(path.read_text())
+    assert data["text"] == "hello world"
+    assert data["segments"][0]["words"][1]["word"] == " world"
+
+
+def test_make_writer_rejects_unknown():
+    with pytest.raises(ValueError):
+        make_writer("doc")
+
+
+# -- transcription utils ----------------------------------------------------
+
+
+def test_longest_common_prefix():
+    prev = [_wt(" a", 0, 1), _wt(" b", 1, 2), _wt(" c", 2, 3)]
+    cur = [_wt(" a", 0, 1), _wt(" b", 1, 2), _wt(" d", 2, 3)]
+    assert [w.word for w in find_longest_common_prefix(prev, cur)] == [" a", " b"]
+    assert [w.word for w in find_longest_different_suffix(prev, cur)] == [" d"]
+
+
+def test_update_segment_timings():
+    seg = _result().segments[0]
+    moved = update_segment_timings(seg, 30.0)
+    assert moved.start == pytest.approx(31.0)
+    assert moved.words[0].end == pytest.approx(31.8)
+    assert seg.start == pytest.approx(1.0)  # original untouched
+
+
+def test_merge_results():
+    a, b = _result(), _result()
+    for s in b.segments:
+        s.start += 10
+        s.end += 10
+    merged = merge_transcription_results([a, None, b])
+    assert len(merged.segments) == 2
+    assert [s.id for s in merged.segments] == [0, 1]
+    assert merged.segments[0].start < merged.segments[1].start
+
+
+# -- streaming --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    heads = np.asarray([[0, 1], [1, 2]], np.int32)
+    return WhisperPipeline(dims=DIMS, params=params, alignment_heads=heads)
+
+
+def test_streaming_confirms_segments(pipe):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 12) * 0.2).astype(np.float32)
+    st = AudioStreamTranscriber(
+        pipe,
+        DecodingOptions(sample_length=8, language="en"),
+        use_vad=False,
+    )
+    states = list(st.stream(simulate_stream(audio, chunk_seconds=4.0)))
+    assert states  # at least one pass ran
+    final = states[-1]
+    assert final.current_text or final.unconfirmed_segments or final.confirmed_segments
+
+
+def test_streaming_vad_gates_silence(pipe):
+    silent = np.zeros(16000 * 6, np.float32)
+    st = AudioStreamTranscriber(
+        pipe, DecodingOptions(sample_length=4, language="en"), use_vad=True
+    )
+    st.feed(silent)
+    assert st.process_pending() is False  # gated, no decode
+    assert st.state.last_buffer_size == len(silent)
+
+
+def test_streaming_eager_word_confirmation(pipe):
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000 * 8) * 0.2).astype(np.float32)
+    st = AudioStreamTranscriber(
+        pipe,
+        DecodingOptions(sample_length=6, language="en"),
+        use_vad=False,
+        eager=True,
+    )
+    list(st.stream(simulate_stream(audio, chunk_seconds=2.0)))
+    # hypotheses tracked; confirmed words only on stable prefixes
+    assert isinstance(st.confirmed_text, str)
+    assert st.state.last_agreed_seconds >= 0.0

@@ -282,27 +282,51 @@ class WhisperPipeline:
         for rung, temperature in enumerate(options.temperatures):
             t0 = time.perf_counter()
             scalars = self._decode_scalars(options, temperature, window_index * 101 + rung)
-            out = decode_loop(
-                self.params,
-                cross_k,
-                cross_v,
-                prompt_arr,
-                suppress,
-                scalars,
-                dims=self.dims,
-                special=sp,
-                sample_begin=len(prompt),
-                max_new_tokens=max_new,
-                top_k=options.top_k,
-                sot_index=sot_index,
-                use_timestamp_rules=not options.without_timestamps,
-                suppress_blank=options.suppress_blank,
-                alignment_heads=align_heads,
-            )
+            use_beam = options.beam_size > 1 and temperature == 0.0
+            if use_beam:
+                from whisperkit_tpu.decoding.beam import beam_decode_loop
+
+                out = beam_decode_loop(
+                    self.params,
+                    cross_k,
+                    cross_v,
+                    prompt_arr,
+                    suppress,
+                    scalars.max_initial_timestamp_index,
+                    dims=self.dims,
+                    special=sp,
+                    sample_begin=len(prompt),
+                    max_new_tokens=max_new,
+                    beam_size=options.beam_size,
+                    sot_index=sot_index,
+                    use_timestamp_rules=not options.without_timestamps,
+                    suppress_blank=options.suppress_blank,
+                    length_penalty=options.length_penalty,
+                )
+            else:
+                out = decode_loop(
+                    self.params,
+                    cross_k,
+                    cross_v,
+                    prompt_arr,
+                    suppress,
+                    scalars,
+                    dims=self.dims,
+                    special=sp,
+                    sample_begin=len(prompt),
+                    max_new_tokens=max_new,
+                    top_k=options.top_k,
+                    sot_index=sot_index,
+                    use_timestamp_rules=not options.without_timestamps,
+                    suppress_blank=options.suppress_blank,
+                    alignment_heads=align_heads,
+                )
             tokens_np = np.asarray(out.tokens)
             lps_np = np.asarray(out.token_logprobs)
             nsp_np = np.asarray(out.no_speech_prob)
-            align_np = np.asarray(out.alignment) if capture else None
+            align_np = (
+                np.asarray(out.alignment) if capture and not use_beam else None
+            )
             self.timings.decoding_loop += time.perf_counter() - t0
             if rung > 0:
                 self.timings.decoding_fallback += time.perf_counter() - t0
@@ -346,7 +370,11 @@ class WhisperPipeline:
                         no_speech_prob=float(nsp_np[i]),
                         temperature=temperature,
                         language=language,
-                        alignment=align_np[: len(prompt) + n + 1, i] if capture else None,
+                        alignment=(
+                            align_np[: len(prompt) + n + 1, i]
+                            if align_np is not None
+                            else None
+                        ),
                         sample_begin=len(prompt),
                     )
                 else:
