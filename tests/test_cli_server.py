@@ -1,0 +1,197 @@
+"""CLI argument surface + OpenAI-compatible server.
+
+Reference test model: ServeCLI/OpenAIHandler behavior and the
+TranscribeCLI flag surface.
+"""
+
+import json
+import wave
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from whisperkit_tpu.cli.main import build_parser
+from whisperkit_tpu.models.whisper import WhisperDims, init_params
+from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+DIMS = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+
+
+def _write_wav(path, samples, rate=16000):
+    pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return WhisperPipeline(dims=DIMS, params=init_params(jax.random.PRNGKey(0), DIMS))
+
+
+# -- CLI parsing ------------------------------------------------------------
+
+
+def test_cli_transcribe_flags():
+    args = build_parser().parse_args(
+        [
+            "transcribe", "--audio-path", "a.wav", "b.wav",
+            "--language", "en", "--word-timestamps", "--beam-size", "3",
+            "--chunking-strategy", "vad", "--report", "--report-format", "srt", "vtt",
+        ]
+    )
+    assert args.command == "transcribe"
+    assert args.audio_path == ["a.wav", "b.wav"]
+    assert args.beam_size == 3
+    assert args.report_format == ["srt", "vtt"]
+
+
+def test_cli_all_subcommands_parse():
+    p = build_parser()
+    assert p.parse_args(["diarize", "--audio-path", "x.wav"]).command == "diarize"
+    assert p.parse_args(["tts", "--text", "hi"]).command == "tts"
+    assert p.parse_args(["serve", "--port", "8080"]).port == 8080
+
+
+def test_cli_rejects_unknown_command():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["frobnicate"])
+
+
+# -- server -----------------------------------------------------------------
+
+
+@pytest.fixture()
+def wav_bytes():
+    rng = np.random.default_rng(0)
+    import io
+
+    buf = io.BytesIO()
+    pcm = (rng.standard_normal(16000 * 2) * 0.1 * 32767).astype(np.int16)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+async def _request(app, path, data):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async with TestClient(TestServer(app)) as client:
+        return await client.post(path, data=data), client
+
+
+def test_server_health(pipe):
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from whisperkit_tpu.server.openai_api import create_app
+
+    async def go():
+        app = create_app(pipe)
+        async with TestClient(TestServer(app)) as client:
+            resp = await client.get("/health")
+            assert resp.status == 200
+            data = await resp.json()
+            assert data["status"] == "ok"
+
+    asyncio.run(go())
+
+
+def test_server_transcription_json(pipe, wav_bytes):
+    import asyncio
+
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from whisperkit_tpu.server.openai_api import create_app
+
+    async def go():
+        app = create_app(pipe)
+        async with TestClient(TestServer(app)) as client:
+            form = aiohttp.FormData()
+            form.add_field("file", wav_bytes, filename="test.wav",
+                           content_type="audio/wav")
+            form.add_field("language", "en")
+            form.add_field("response_format", "verbose_json")
+            resp = await client.post("/v1/audio/transcriptions", data=form)
+            assert resp.status == 200
+            data = await resp.json()
+            assert "text" in data and "segments" in data
+            assert data["language"] == "en"
+
+    asyncio.run(go())
+
+
+def test_server_missing_file_400(pipe):
+    import asyncio
+
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from whisperkit_tpu.server.openai_api import create_app
+
+    async def go():
+        app = create_app(pipe)
+        async with TestClient(TestServer(app)) as client:
+            form = aiohttp.FormData()
+            form.add_field("language", "en")
+            resp = await client.post("/v1/audio/transcriptions", data=form)
+            assert resp.status == 400
+
+    asyncio.run(go())
+
+
+def test_server_streaming_sse(pipe, wav_bytes):
+    import asyncio
+
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from whisperkit_tpu.server.openai_api import create_app
+
+    async def go():
+        app = create_app(pipe)
+        async with TestClient(TestServer(app)) as client:
+            form = aiohttp.FormData()
+            form.add_field("file", wav_bytes, filename="t.wav",
+                           content_type="audio/wav")
+            form.add_field("language", "en")
+            form.add_field("stream", "true")
+            resp = await client.post("/v1/audio/transcriptions", data=form)
+            assert resp.status == 200
+            body = await resp.text()
+            assert "transcript.text.done" in body
+            assert "[DONE]" in body
+
+    asyncio.run(go())
+
+
+def test_cli_transcribe_end_to_end(tmp_path, pipe, monkeypatch, capsys):
+    """Drive cmd_transcribe with a patched pipeline builder."""
+    from whisperkit_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(1)
+    wav = tmp_path / "clip.wav"
+    _write_wav(wav, rng.standard_normal(16000 * 2) * 0.1)
+    monkeypatch.setattr(cli_main, "_build_pipeline", lambda args: pipe)
+
+    rc = cli_main.main(
+        [
+            "transcribe", "--audio-path", str(wav), "--language", "en",
+            "--sample-length", "6", "--report", "--report-path", str(tmp_path),
+            "--report-format", "json", "srt",
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "clip.json").exists()
+    assert (tmp_path / "clip.srt").exists()
+    data = json.loads((tmp_path / "clip.json").read_text())
+    assert "segments" in data

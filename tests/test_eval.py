@@ -1,0 +1,113 @@
+"""WER stack: normalizers, alignment, evaluate; regression harness.
+
+Reference test model: Tests/WhisperKitTests/Evaluate/ (NormalizeEn,
+DistanceCalculation, WERUtils) and RegressionTests fault injection.
+"""
+
+import numpy as np
+import pytest
+
+from whisperkit_tpu.eval.normalize import (
+    BasicTextNormalizer,
+    EnglishNumberNormalizer,
+    EnglishTextNormalizer,
+)
+from whisperkit_tpu.eval.regression import CrashTestError, run_regression
+from whisperkit_tpu.eval.wer import align_words, evaluate, wer
+
+
+def test_basic_normalizer():
+    n = BasicTextNormalizer()
+    assert n("Hello, World! [applause]") == "hello world"
+    assert n("A (quiet) test...") == "a test"
+
+
+def test_english_normalizer_contractions():
+    n = EnglishTextNormalizer()
+    assert n("I won't go") == "i will not go"
+    assert n("it's Mr. Smith's dog") == "it is mister smith is dog"
+    assert n("they're gonna leave") == "they are going to leave"
+
+
+def test_english_normalizer_spelling():
+    n = EnglishTextNormalizer()
+    assert n("the colour of honour") == "the color of honor"
+
+
+def test_number_normalizer():
+    n = EnglishNumberNormalizer()
+    assert n("twenty two") == "22"
+    assert n("one hundred and five") == "105"
+    assert n("three thousand two hundred") == "3200"
+    assert n("two million") == "2000000"
+    # lone "one" stays a word (ambiguity rule)
+    assert n("one day") == "one day"
+
+
+def test_wer_identical_zero():
+    assert wer("hello world", "Hello, world!") == 0.0
+
+
+def test_wer_counts():
+    res = evaluate("the cat sat on the mat", "the cat sit on mat")
+    assert res.substitutions == 1  # sat → sit
+    assert res.deletions == 1  # the
+    assert res.insertions == 0
+    assert res.hits == 4
+    assert res.wer == pytest.approx(2 / 6)
+
+
+def test_wer_empty_reference():
+    assert evaluate("", "something").wer == 1.0
+    assert evaluate("", "").wer == 0.0
+
+
+def test_align_words_chunks():
+    chunks = align_words(["a", "b", "c"], ["a", "x", "c", "d"])
+    kinds = [c.kind for c in chunks]
+    assert kinds == ["equal", "replace", "equal", "insert"]
+
+
+def test_regression_fault_injection(tmp_path):
+    with pytest.raises(CrashTestError):
+        run_regression(None, tmp_path, model_name="crash_test")
+    with pytest.raises(ValueError):
+        run_regression(None, tmp_path, model_name="unknown_model")
+
+
+def _write_wav(path, samples, rate=16000):
+    import wave
+
+    pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+
+
+def test_regression_harness_end_to_end(tmp_path):
+    jax = pytest.importorskip("jax")
+    from whisperkit_tpu.core.configurations import DecodingOptions
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    pipe = WhisperPipeline(dims=dims, params=init_params(jax.random.PRNGKey(0), dims))
+
+    rng = np.random.default_rng(0)
+    _write_wav(tmp_path / "a.wav", rng.standard_normal(16000 * 3) * 0.1)
+    (tmp_path / "a.txt").write_text("some reference transcript")
+
+    out = tmp_path / "stats.jsonl"
+    stats = run_regression(
+        pipe, tmp_path, model_name="tiny-random",
+        options=DecodingOptions(sample_length=6, language="en"),
+        out_path=out,
+    )
+    assert len(stats) == 1
+    rec = stats[0]
+    assert rec.wer is not None and rec.wer >= 0
+    assert rec.input_audio_seconds == pytest.approx(3.0, abs=0.1)
+    assert rec.windows >= 1
+    assert out.exists() and "tokens_per_second" in out.read_text()

@@ -1,0 +1,3 @@
+from whisperkit_tpu.cli.main import main
+
+raise SystemExit(main())

@@ -1,0 +1,283 @@
+"""argmax-cli equivalent: transcribe / diarize / tts / serve.
+
+Reference: Sources/ArgmaxCLI/ArgmaxCLI.swift:9-26 (subcommand root),
+TranscribeCLI.swift / DiarizeCLI.swift / TTSCLI.swift / ServeCLI.swift.
+Flags mirror the reference's argument structs 1:1 (snake-case →
+--kebab-case), per TranscribeCLIArguments.swift:6-111.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default=None, help="model name (tiny ... large-v3)")
+    p.add_argument("--model-repo", default=None, help="HF repo to resolve the model from")
+    p.add_argument("--model-folder", default=None, help="local checkpoint folder")
+    p.add_argument("--tokenizer-folder", default=None)
+    p.add_argument("--download", action="store_true", default=True)
+    p.add_argument("--no-download", dest="download", action="store_false")
+    p.add_argument("--prewarm", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+
+
+def _add_decoding_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--task", choices=["transcribe", "translate"], default="transcribe")
+    p.add_argument("--language", default=None)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--temperature-increment-on-fallback", type=float, default=0.2)
+    p.add_argument("--temperature-fallback-count", type=int, default=5)
+    p.add_argument("--best-of", dest="top_k", type=int, default=5)
+    p.add_argument("--beam-size", type=int, default=1)
+    p.add_argument("--sample-length", type=int, default=224)
+    p.add_argument("--skip-special-tokens", action="store_true")
+    p.add_argument("--without-timestamps", action="store_true")
+    p.add_argument("--word-timestamps", action="store_true")
+    p.add_argument("--detect-language", action="store_true")
+    p.add_argument("--max-initial-timestamp", type=float, default=1.0)
+    p.add_argument("--clip-timestamps", type=float, nargs="*", default=[])
+    p.add_argument("--prompt", default=None, help="text prompt to condition on")
+    p.add_argument("--prefix", default=None, help="text prefix to force-decode")
+    p.add_argument("--suppress-blank", action="store_true")
+    p.add_argument("--compression-ratio-threshold", type=float, default=2.4)
+    p.add_argument("--logprob-threshold", type=float, default=-1.0)
+    p.add_argument("--no-speech-threshold", type=float, default=0.6)
+    p.add_argument("--chunking-strategy", choices=["none", "vad"], default="none")
+    p.add_argument("--concurrent-worker-count", type=int, default=16)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="whisperkit-tpu", description="TPU-native speech toolkit"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("transcribe", help="speech-to-text")
+    _add_model_args(t)
+    _add_decoding_args(t)
+    t.add_argument("--audio-path", nargs="+", required=False, default=[])
+    t.add_argument("--audio-folder", default=None)
+    t.add_argument("--stream-simulated", action="store_true",
+                   help="replay the file as a live stream with eager word confirmation")
+    t.add_argument("--report", action="store_true", help="write report files")
+    t.add_argument("--report-path", default=".", help="report output dir")
+    t.add_argument("--report-format", nargs="*", default=["json"],
+                   choices=["json", "srt", "vtt", "txt"])
+    t.add_argument("--diarization", action="store_true",
+                   help="run speaker diarization and merge speaker labels")
+
+    d = sub.add_parser("diarize", help="speaker diarization")
+    _add_model_args(d)
+    d.add_argument("--audio-path", required=True)
+    d.add_argument("--num-speakers", type=int, default=None)
+    d.add_argument("--cluster-distance-threshold", type=float, default=None)
+    d.add_argument("--rttm-path", default=None, help="write RTTM to this path")
+
+    s = sub.add_parser("tts", help="text-to-speech")
+    _add_model_args(s)
+    s.add_argument("--text", required=True)
+    s.add_argument("--voice", default=None)
+    s.add_argument("--tts-language", default="english")
+    s.add_argument("--instruction", default=None)
+    s.add_argument("--output-path", default="speech.wav")
+    s.add_argument("--temperature", type=float, default=0.9)
+    s.add_argument("--top-k", type=int, default=50)
+    s.add_argument("--repetition-penalty", type=float, default=1.05)
+    s.add_argument("--max-new-tokens", type=int, default=245)
+    s.add_argument("--seed", type=int, default=0)
+
+    v = sub.add_parser("serve", help="OpenAI-compatible local server")
+    _add_model_args(v)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=50060)
+
+    return parser
+
+
+def _decode_options(args, tokenizer=None):
+    from whisperkit_tpu.core.configurations import DecodingOptions
+
+    prompt_tokens = None
+    prefix_tokens = None
+    if tokenizer is not None:
+        if args.prompt:
+            prompt_tokens = tokenizer.encode(" " + args.prompt.strip())
+        if args.prefix:
+            prefix_tokens = tokenizer.encode(" " + args.prefix.strip())
+    return DecodingOptions(
+        task=args.task,
+        language=args.language,
+        temperature=args.temperature,
+        temperature_increment_on_fallback=args.temperature_increment_on_fallback,
+        temperature_fallback_count=args.temperature_fallback_count,
+        top_k=args.top_k,
+        beam_size=args.beam_size,
+        sample_length=args.sample_length,
+        skip_special_tokens=args.skip_special_tokens,
+        without_timestamps=args.without_timestamps,
+        word_timestamps=args.word_timestamps or args.stream_simulated,
+        detect_language=args.detect_language,
+        max_initial_timestamp=args.max_initial_timestamp,
+        clip_timestamps=args.clip_timestamps,
+        prompt_tokens=prompt_tokens,
+        prefix_tokens=prefix_tokens,
+        suppress_blank=args.suppress_blank,
+        compression_ratio_threshold=args.compression_ratio_threshold,
+        logprob_threshold=args.logprob_threshold,
+        no_speech_threshold=args.no_speech_threshold,
+        chunking_strategy=args.chunking_strategy,
+        concurrent_worker_count=args.concurrent_worker_count,
+    )
+
+
+def _build_pipeline(args):
+    from whisperkit_tpu.core.configurations import WhisperConfig
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    config = WhisperConfig(
+        model=args.model,
+        model_repo=args.model_repo,
+        model_folder=args.model_folder,
+        tokenizer_folder=args.tokenizer_folder,
+        download=args.download,
+        prewarm=args.prewarm,
+        verbose=args.verbose,
+    )
+    return WhisperPipeline(config)
+
+
+def cmd_transcribe(args) -> int:
+    from whisperkit_tpu.text.transcription_utils import format_segments
+    from whisperkit_tpu.text.writers import make_writer
+
+    paths = [Path(p) for p in args.audio_path]
+    if args.audio_folder:
+        folder = Path(args.audio_folder)
+        paths.extend(
+            sorted(
+                p for p in folder.iterdir()
+                if p.suffix.lower() in {".wav", ".flac", ".mp3", ".m4a", ".ogg"}
+            )
+        )
+    if not paths:
+        print("no audio inputs (use --audio-path / --audio-folder)", file=sys.stderr)
+        return 2
+
+    pipe = _build_pipeline(args)
+    options = _decode_options(args, pipe.tokenizer)
+
+    if args.stream_simulated:
+        return _stream_simulated(pipe, paths[0], options)
+
+    rc = 0
+    for path in paths:
+        t0 = time.perf_counter()
+        result = pipe.transcribe(path, options)
+        if isinstance(result, Exception):
+            print(f"{path}: ERROR {result}", file=sys.stderr)
+            rc = 1
+            continue
+        for line in format_segments(result.segments):
+            print(line)
+        dt = time.perf_counter() - t0
+        print(
+            f"-- {path.name}: {result.timings.input_audio_seconds:.1f}s audio in "
+            f"{dt:.2f}s (RTF {result.timings.real_time_factor:.3f})",
+            file=sys.stderr,
+        )
+        if args.report:
+            for fmt in args.report_format:
+                out = make_writer(fmt, args.report_path).write(result, path.stem)
+                print(f"   wrote {out}", file=sys.stderr)
+    return rc
+
+
+def _stream_simulated(pipe, path: Path, options) -> int:
+    """Eager streaming replay (reference: TranscribeCLI.swift:322-430)."""
+    from whisperkit_tpu.audio.io import load_audio
+    from whisperkit_tpu.pipelines.streaming import (
+        AudioStreamTranscriber,
+        simulate_stream,
+    )
+
+    audio = load_audio(path)
+    st = AudioStreamTranscriber(pipe, options, eager=True, use_vad=False)
+    for state in st.stream(simulate_stream(audio, chunk_seconds=1.0)):
+        confirmed = "".join(w.word for w in state.confirmed_words)
+        hypothesis = "".join(w.word for w in state.hypothesis_words)
+        print(f"\r{confirmed}\033[90m{hypothesis}\033[0m", end="", flush=True)
+    print()
+    print(st.confirmed_text or st.state.current_text)
+    return 0
+
+
+def cmd_diarize(args) -> int:
+    from whisperkit_tpu.pipelines.diarize import DiarizePipeline, DiarizationOptions
+
+    pipe = DiarizePipeline.from_pretrained(model_folder=args.model_folder)
+    result = pipe.diarize(
+        args.audio_path,
+        DiarizationOptions(
+            number_of_speakers=args.num_speakers,
+            cluster_distance_threshold=args.cluster_distance_threshold,
+        ),
+    )
+    for seg in result.segments:
+        print(f"[{seg.start:8.2f} --> {seg.end:8.2f}] SPEAKER_{seg.speaker_id:02d}")
+    if args.rttm_path:
+        Path(args.rttm_path).write_text(result.to_rttm(), encoding="utf-8")
+        print(f"wrote {args.rttm_path}", file=sys.stderr)
+    return 0
+
+
+def cmd_tts(args) -> int:
+    from whisperkit_tpu.pipelines.tts import TTSPipeline, GenerationOptions
+
+    pipe = TTSPipeline.from_pretrained(model_folder=args.model_folder)
+    result = pipe.generate(
+        args.text,
+        GenerationOptions(
+            voice=args.voice,
+            language=args.tts_language,
+            instruction=args.instruction,
+            temperature=args.temperature,
+            top_k=args.top_k,
+            repetition_penalty=args.repetition_penalty,
+            max_new_tokens=args.max_new_tokens,
+            seed=args.seed,
+        ),
+    )
+    result.save(args.output_path)
+    print(
+        f"wrote {args.output_path} ({result.duration_seconds:.2f}s audio)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from whisperkit_tpu.server.openai_api import serve
+
+    pipe = _build_pipeline(args)
+    serve(pipe, host=args.host, port=args.port)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    handlers = {
+        "transcribe": cmd_transcribe,
+        "diarize": cmd_diarize,
+        "tts": cmd_tts,
+        "serve": cmd_serve,
+    }
+    return handlers[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

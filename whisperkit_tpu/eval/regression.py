@@ -1,0 +1,132 @@
+"""Regression / benchmark harness.
+
+Reference: Tests/WhisperKitTests/RegressionTests.swift (:80-296) +
+RegressionTestUtils.swift (:84-400): env-driven model matrix, per-file
+pipeline runs measuring tokens/sec (live callback window), memory pre/post,
+a TPS floor assert (>4 tok/s → "potential CPU fallback"), WER vs reference
+transcripts, and a JSON stats attachment.
+
+Dataset layout expected here: a folder of audio files with sibling `.txt`
+reference transcripts (same stem) — the offline equivalent of the
+reference's HF `whisperkit-test-data` datasets. Fault-injection model names
+`crash_test` / `unknown_model` are honored like the reference's debug
+matrix (Fastfile:59, RegressionTests.swift:92-94).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+from whisperkit_tpu.core.configurations import DecodingOptions
+from whisperkit_tpu.core.logging import logging
+from whisperkit_tpu.eval.wer import evaluate
+
+TPS_FLOOR = 4.0  # RegressionTests.swift:270-274
+
+
+class CrashTestError(RuntimeError):
+    """Raised by the `crash_test` fault-injection model name."""
+
+
+def _resident_memory_mb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+@dataclasses.dataclass
+class RegressionStats:
+    """Per-file stats record (reference: RegressionStats JSON attachment)."""
+
+    file: str
+    model: str
+    wer: Optional[float]
+    tokens_per_second: float
+    real_time_factor: float
+    speed_factor: float
+    time_to_first_token: float
+    input_audio_seconds: float
+    full_pipeline_seconds: float
+    memory_pre_mb: float
+    memory_post_mb: float
+    windows: int
+    fallbacks: int
+    passed_tps_floor: bool
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+def run_regression(
+    pipeline,
+    dataset_dir: Path | str,
+    *,
+    model_name: str = "",
+    options: Optional[DecodingOptions] = None,
+    max_files: Optional[int] = None,
+    out_path: Optional[Path | str] = None,
+) -> list[RegressionStats]:
+    """Run the pipeline over a dataset folder, computing WER + perf stats."""
+    model_name = model_name or os.environ.get("MODEL_NAME", "unknown")
+    if model_name == "crash_test":
+        raise CrashTestError("fault injection: crash_test model requested")
+    if model_name == "unknown_model":
+        raise ValueError("fault injection: unknown_model is not a valid model")
+
+    dataset_dir = Path(dataset_dir)
+    audio_exts = {".wav", ".flac", ".mp3", ".m4a", ".ogg"}
+    files = sorted(p for p in dataset_dir.iterdir() if p.suffix.lower() in audio_exts)
+    if max_files:
+        files = files[:max_files]
+    options = options or DecodingOptions()
+
+    stats: list[RegressionStats] = []
+    for path in files:
+        mem_pre = _resident_memory_mb()
+        result = pipeline.transcribe(path, options)
+        mem_post = _resident_memory_mb()
+        t = result.timings
+
+        ref_path = path.with_suffix(".txt")
+        wer_val = None
+        if ref_path.exists():
+            wer_val = evaluate(ref_path.read_text(), result.text).wer
+
+        tps = t.tokens_per_second
+        rec = RegressionStats(
+            file=path.name,
+            model=model_name,
+            wer=wer_val,
+            tokens_per_second=tps,
+            real_time_factor=t.real_time_factor,
+            speed_factor=t.speed_factor,
+            time_to_first_token=t.time_to_first_token,
+            input_audio_seconds=t.input_audio_seconds,
+            full_pipeline_seconds=t.full_pipeline,
+            memory_pre_mb=mem_pre,
+            memory_post_mb=mem_post,
+            windows=int(t.total_decoding_windows),
+            fallbacks=int(t.total_decoding_fallbacks),
+            passed_tps_floor=tps > TPS_FLOOR,
+        )
+        if not rec.passed_tps_floor:
+            logging.error(
+                f"{path.name}: {tps:.1f} tok/s <= {TPS_FLOOR} — potential slow-path fallback"
+            )
+        stats.append(rec)
+
+    if out_path:
+        Path(out_path).write_text(
+            "\n".join(s.to_json() for s in stats) + "\n", encoding="utf-8"
+        )
+    return stats

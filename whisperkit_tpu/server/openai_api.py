@@ -1,0 +1,212 @@
+"""OpenAI-compatible local HTTP server (Audio API).
+
+Reference: Sources/ArgmaxCLI/ServeCLI.swift:26-63 +
+Server/OpenAIHandler.swift (`createTranscription` :121, SSE streaming
+:22-119), generated from scripts/specs/localserver_openapi.yaml. Endpoints:
+
+  POST /v1/audio/transcriptions   multipart: file, model, language, prompt,
+                                  temperature, response_format, stream,
+                                  timestamp_granularities[]
+  POST /v1/audio/translations     same minus language (task=translate)
+  GET  /health
+
+Substrate: aiohttp (the reference uses Vapor). Transcription runs in a
+worker thread; SSE streaming forwards per-window progress as
+`transcript.text.delta` events and finishes with `transcript.text.done`,
+matching the OpenAI streaming event shapes.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import json
+import tempfile
+import threading
+from pathlib import Path
+from typing import Optional
+
+from whisperkit_tpu.core.configurations import DecodingOptions, DecodingTask
+from whisperkit_tpu.core.logging import logging
+
+
+def _result_payload(result, response_format: str):
+    from whisperkit_tpu.core.results import TranscriptionResult
+    from whisperkit_tpu.text.writers import WriteSRT, WriteVTT
+
+    if response_format == "text":
+        return result.text, "text/plain"
+    if response_format == "srt":
+        return WriteSRT().format(result), "text/plain"
+    if response_format == "vtt":
+        return WriteVTT().format(result), "text/plain"
+    if response_format == "verbose_json":
+        payload = {
+            "task": "transcribe",
+            "language": result.language,
+            "duration": result.timings.input_audio_seconds,
+            "text": result.text,
+            "segments": [
+                {
+                    "id": s.id,
+                    "seek": s.seek,
+                    "start": s.start,
+                    "end": s.end,
+                    "text": s.text,
+                    "tokens": s.tokens,
+                    "temperature": s.temperature,
+                    "avg_logprob": s.avg_logprob,
+                    "compression_ratio": s.compression_ratio,
+                    "no_speech_prob": s.no_speech_prob,
+                }
+                for s in result.segments
+            ],
+        }
+        words = result.all_words
+        if words:
+            payload["words"] = [
+                {"word": w.word, "start": w.start, "end": w.end} for w in words
+            ]
+        return json.dumps(payload), "application/json"
+    # default: json
+    return json.dumps({"text": result.text}), "application/json"
+
+
+def create_app(pipeline):
+    from aiohttp import web
+
+    async def health(request):
+        return web.json_response(
+            {"status": "ok", "model_state": str(pipeline.model_state)}
+        )
+
+    async def _parse_multipart(request):
+        reader = await request.multipart()
+        fields: dict[str, str] = {}
+        audio_path: Optional[Path] = None
+        granularities: list[str] = []
+        async for part in reader:
+            name = part.name or ""
+            if name == "file":
+                suffix = Path(part.filename or "audio.wav").suffix or ".wav"
+                tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+                while True:
+                    chunk = await part.read_chunk()
+                    if not chunk:
+                        break
+                    tmp.write(chunk)
+                tmp.close()
+                audio_path = Path(tmp.name)
+            elif name in ("timestamp_granularities[]", "timestamp_granularities"):
+                granularities.append((await part.text()).strip())
+            else:
+                fields[name] = await part.text()
+        return fields, audio_path, granularities
+
+    def _options(fields, granularities, task) -> DecodingOptions:
+        word_ts = "word" in granularities
+        prompt = fields.get("prompt")
+        prompt_tokens = (
+            pipeline.tokenizer.encode(" " + prompt.strip()) if prompt else None
+        )
+        return DecodingOptions(
+            task=task,
+            language=fields.get("language"),
+            temperature=float(fields.get("temperature", 0.0)),
+            word_timestamps=word_ts,
+            prompt_tokens=prompt_tokens,
+            chunking_strategy="vad",
+        )
+
+    async def _handle(request, task: DecodingTask):
+        try:
+            fields, audio_path, granularities = await _parse_multipart(request)
+        except (AssertionError, ValueError) as e:
+            return web.json_response(
+                {"error": {"message": f"expected multipart/form-data: {e}"}},
+                status=400,
+            )
+        if audio_path is None:
+            return web.json_response(
+                {"error": {"message": "missing file field"}}, status=400
+            )
+        response_format = fields.get("response_format", "json")
+        stream = fields.get("stream", "false").lower() in ("1", "true", "yes")
+        options = _options(fields, granularities, task)
+        loop = asyncio.get_running_loop()
+        try:
+            if stream:
+                return await _handle_streaming(request, audio_path, options)
+            result = await loop.run_in_executor(
+                None, lambda: pipeline.transcribe(audio_path, options)
+            )
+            body, ctype = _result_payload(result, response_format)
+            return web.Response(text=body, content_type=ctype)
+        except Exception as e:  # surface as OpenAI-style error object
+            logging.error(f"transcription failed: {e}")
+            return web.json_response({"error": {"message": str(e)}}, status=500)
+        finally:
+            audio_path.unlink(missing_ok=True)
+
+    async def _handle_streaming(request, audio_path, options):
+        """SSE: one transcript.text.delta per discovered window, then done."""
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+            }
+        )
+        await resp.prepare(request)
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+
+        def progress_callback(progress):
+            loop.call_soon_threadsafe(queue.put_nowait, ("delta", progress.text))
+            return None
+
+        def run():
+            try:
+                result = pipeline.transcribe(audio_path, options, progress_callback)
+                loop.call_soon_threadsafe(queue.put_nowait, ("done", result))
+            except Exception as e:
+                loop.call_soon_threadsafe(queue.put_nowait, ("error", e))
+
+        thread = threading.Thread(target=run, daemon=True)
+        thread.start()
+        while True:
+            kind, value = await queue.get()
+            if kind == "delta":
+                event = {"type": "transcript.text.delta", "delta": value}
+                await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+            elif kind == "error":
+                event = {"type": "error", "error": {"message": str(value)}}
+                await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+                break
+            else:
+                event = {"type": "transcript.text.done", "text": value.text}
+                await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+                await resp.write(b"data: [DONE]\n\n")
+                break
+        await resp.write_eof()
+        return resp
+
+    async def transcriptions(request):
+        return await _handle(request, DecodingTask.TRANSCRIBE)
+
+    async def translations(request):
+        return await _handle(request, DecodingTask.TRANSLATE)
+
+    app = web.Application(client_max_size=512 * 1024 * 1024)
+    app.router.add_get("/health", health)
+    app.router.add_post("/v1/audio/transcriptions", transcriptions)
+    app.router.add_post("/v1/audio/translations", translations)
+    return app
+
+
+def serve(pipeline, host: str = "127.0.0.1", port: int = 50060) -> None:
+    from aiohttp import web
+
+    app = create_app(pipeline)
+    logging.info(f"serving OpenAI-compatible audio API on http://{host}:{port}")
+    web.run_app(app, host=host, port=port, print=None)
