@@ -42,6 +42,7 @@ class TranscriptionSegment:
     compression_ratio: float = 0.0
     no_speech_prob: float = 0.0
     words: Optional[list[WordTiming]] = None
+    speaker: Optional[str] = None  # set by DiarizationResult.add_speaker_info
 
 
 @dataclasses.dataclass

@@ -1,0 +1,229 @@
+"""Speaker segmentation + embedding models, TPU-native JAX.
+
+Reference: Sources/SpeakerKit/Pyannote/SpeakerSegmenterModel.swift (CoreML
+segmenter over 30 s chunks, :121-217) and SpeakerEmbedderModel.swift
+(WeSpeaker-style embedder + fbank pre-embedder, :313). The reference ships
+pre-compiled CoreML graphs; here the equivalent architectures are built
+from scratch in JAX:
+
+  * Segmenter — PyanNet-style: strided conv frontend → 2× bidirectional
+    LSTM (lax.scan) → MLP → per-frame sigmoid activity for
+    `n_local_speakers` slots (+ derived overlap activity). The LSTM scan
+    carries tiny state; the conv frontend and projections are MXU matmuls.
+  * Embedder — fbank (the Whisper mel front end) → 2D conv stack →
+    masked temporal statistics pooling (mean‖std) → linear → L2-normed
+    embedding. The speaker-activity mask makes the pooling speaker-
+    selective, matching the reference's per-active-speaker embeddings.
+
+Weights are random-initialized (no public TPU checkpoint conversion yet);
+every op is shape-compatible with porting real PyanNet / WeSpeaker weights
+later.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PyTree = Any
+
+SAMPLE_RATE = 16_000
+CHUNK_SECONDS = 30.0
+CHUNK_SAMPLES = int(CHUNK_SECONDS * SAMPLE_RATE)
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmenterDims:
+    n_local_speakers: int = 3
+    conv_channels: int = 64
+    lstm_hidden: int = 128
+    n_lstm: int = 2
+    frame_stride: int = 800  # samples per output frame (600 frames / 30 s)
+
+    @property
+    def frames_per_chunk(self) -> int:
+        return CHUNK_SAMPLES // self.frame_stride
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbedderDims:
+    n_mels: int = 80
+    channels: tuple = (32, 64, 128)
+    embedding_dim: int = 256
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _linear(key, d_in, d_out, dtype=jnp.float32):
+    w = jax.random.normal(key, (d_in, d_out)) * (d_in**-0.5)
+    return {"w": w.astype(dtype), "b": jnp.zeros((d_out,), dtype)}
+
+
+def _conv1d_p(key, c_in, c_out, k, dtype=jnp.float32):
+    w = jax.random.normal(key, (c_out, c_in, k)) * ((c_in * k) ** -0.5)
+    return {"w": w.astype(dtype), "b": jnp.zeros((c_out,), dtype)}
+
+
+def _conv2d_p(key, c_in, c_out, k, dtype=jnp.float32):
+    w = jax.random.normal(key, (c_out, c_in, k, k)) * ((c_in * k * k) ** -0.5)
+    return {"w": w.astype(dtype), "b": jnp.zeros((c_out,), dtype)}
+
+
+def _lstm_p(key, d_in, hidden, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "wx": (jax.random.normal(k1, (d_in, 4 * hidden)) * (d_in**-0.5)).astype(dtype),
+        "wh": (jax.random.normal(k2, (hidden, 4 * hidden)) * (hidden**-0.5)).astype(dtype),
+        "b": jnp.zeros((4 * hidden,), dtype),
+    }
+
+
+def init_segmenter(key, dims: SegmenterDims = SegmenterDims()) -> PyTree:
+    ks = jax.random.split(key, 8)
+    c = dims.conv_channels
+    h = dims.lstm_hidden
+    lstms = []
+    d_in = c
+    for i in range(dims.n_lstm):
+        kf, kb = jax.random.split(ks[3 + i])
+        lstms.append({"fwd": _lstm_p(kf, d_in, h), "bwd": _lstm_p(kb, d_in, h)})
+        d_in = 2 * h
+    return {
+        # strided conv frontend: 80 -> 10 -> total stride 800
+        "conv1": _conv1d_p(ks[0], 1, c, 81),
+        "conv2": _conv1d_p(ks[1], c, c, 21),
+        "conv3": _conv1d_p(ks[2], c, c, 5),
+        "lstms": lstms,
+        "fc1": _linear(ks[5], 2 * h, 2 * h),
+        "fc2": _linear(ks[6], 2 * h, 2 * h),
+        "cls": _linear(ks[7], 2 * h, dims.n_local_speakers),
+    }
+
+
+def init_embedder(key, dims: EmbedderDims = EmbedderDims()) -> PyTree:
+    ks = jax.random.split(key, len(dims.channels) + 2)
+    convs = []
+    c_in = 1
+    for i, c_out in enumerate(dims.channels):
+        convs.append(_conv2d_p(ks[i], c_in, c_out, 3))
+        c_in = c_out
+    feat = dims.channels[-1] * (dims.n_mels // (2 ** len(dims.channels)))
+    return {
+        "convs": convs,
+        "proj": _linear(ks[-2], 2 * feat, dims.embedding_dim),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _conv1d(x, p, stride):
+    """x [B, C, T]."""
+    k = p["w"].shape[-1]
+    pad = k // 2
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride,), [(pad, pad)], dimension_numbers=("NCH", "OIH", "NCH")
+    )
+    return y + p["b"][None, :, None]
+
+
+def _lstm_scan(x, p):
+    """x [B, T, D] → [B, T, H] (single direction)."""
+    b, t, d = x.shape
+    h = p["wh"].shape[0]
+    xw = jnp.einsum("btd,dg->btg", x, p["wx"]) + p["b"]
+
+    def cell(carry, xt):
+        hprev, cprev = carry
+        gates = xt + hprev @ p["wh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * cprev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        hnew = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (hnew, c), hnew
+
+    init = (jnp.zeros((b, h), x.dtype), jnp.zeros((b, h), x.dtype))
+    _, ys = jax.lax.scan(cell, init, xw.transpose(1, 0, 2))
+    return ys.transpose(1, 0, 2)
+
+
+def _bilstm(x, p):
+    fwd = _lstm_scan(x, p["fwd"])
+    bwd = _lstm_scan(x[:, ::-1], p["bwd"])[:, ::-1]
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def segmenter_forward(
+    params: PyTree, audio: jnp.ndarray, dims: SegmenterDims = SegmenterDims()
+) -> dict[str, jnp.ndarray]:
+    """audio [B, 480000] → speaker activity.
+
+    Returns dict with `speaker_activity` [B, F, S] sigmoid probs,
+    `overlapped_speaker_activity` [B, F] (prob ≥2 active). Mirrors the
+    reference segmenter's outputs (SpeakerSegmenterModel.swift:55-117).
+    """
+    x = audio[:, None, :]  # [B, 1, T]
+    x = jax.nn.leaky_relu(_conv1d(x, params["conv1"], 80))
+    x = jax.nn.leaky_relu(_conv1d(x, params["conv2"], 5))
+    x = jax.nn.leaky_relu(_conv1d(x, params["conv3"], 2))
+    x = x.transpose(0, 2, 1)  # [B, F, C]
+    for lp in params["lstms"]:
+        x = _bilstm(x, lp)
+    x = jax.nn.leaky_relu(x @ params["fc1"]["w"] + params["fc1"]["b"])
+    x = jax.nn.leaky_relu(x @ params["fc2"]["w"] + params["fc2"]["b"])
+    logits = x @ params["cls"]["w"] + params["cls"]["b"]  # [B, F, S]
+    activity = jax.nn.sigmoid(logits)
+    # probability that at least two speakers are active
+    s = activity.sum(-1)
+    overlap = jax.nn.sigmoid(4.0 * (s - 1.0))
+    return {"speaker_activity": activity, "overlapped_speaker_activity": overlap}
+
+
+def _conv2d(x, p, stride):
+    """x [B, C, H, W]."""
+    k = p["w"].shape[-1]
+    pad = k // 2
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y + p["b"][None, :, None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def embedder_forward(
+    params: PyTree,
+    fbank: jnp.ndarray,  # [B, n_mels, T] log-mel features
+    frame_mask: jnp.ndarray,  # [B, T] speaker-activity weights in [0, 1]
+    dims: EmbedderDims = EmbedderDims(),
+) -> jnp.ndarray:
+    """Masked speaker embedding [B, E], L2-normalized.
+
+    Reference: SpeakerEmbedderModel.swift — fbank preprocessor + WeSpeaker
+    embedder; the activity mask selects the target speaker's frames.
+    """
+    x = fbank[:, None, :, :]  # [B, 1, M, T]
+    for cp in params["convs"]:
+        x = jax.nn.relu(_conv2d(x, cp, 2))
+    b, c, m, t = x.shape
+    feat = x.transpose(0, 3, 1, 2).reshape(b, t, c * m)  # [B, T', C*M]
+
+    # downsample the mask to T' and apply masked stats pooling
+    ratio = frame_mask.shape[1] // t if t else 1
+    mask_ds = frame_mask[:, : t * ratio].reshape(b, t, ratio).mean(-1)  # [B, T']
+    w = mask_ds / (mask_ds.sum(1, keepdims=True) + 1e-6)
+    mean = jnp.einsum("btd,bt->bd", feat, w)
+    var = jnp.einsum("btd,bt->bd", (feat - mean[:, None]) ** 2, w)
+    stats = jnp.concatenate([mean, jnp.sqrt(var + 1e-6)], axis=-1)
+    emb = stats @ params["proj"]["w"] + params["proj"]["b"]
+    return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)

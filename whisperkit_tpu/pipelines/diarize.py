@@ -1,0 +1,285 @@
+"""DiarizePipeline — speaker diarization façade + engine.
+
+Reference: Sources/SpeakerKit/SpeakerKit.swift (façade :21-108) and
+Pyannote/PyannoteDiarizer.swift (`PyannoteDiarizerActor`: producer-consumer
+segmenter→embedder pipeline :145-231, clustering :233-269, post-processing
+:271-364, `diarize` :366-403), PyannoteConfig.swift (config/options/timings
+:122-210).
+
+TPU-native restructuring (SURVEY.md §2.6): the reference overlaps 4
+segmenter workers with N embedder workers over an AsyncStream; here both
+models are *batched* — all 30 s chunks run through the segmenter in one
+call, and all (chunk, speaker-slot) embeddings in one call — so the TPU
+sees two large dispatches instead of hundreds of small ones. Clustering
+stays on host (NumPy/scipy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperkit_tpu.audio.io import SAMPLE_RATE, load_audio
+from whisperkit_tpu.core.logging import logging
+from whisperkit_tpu.models.pyannote import (
+    CHUNK_SAMPLES,
+    EmbedderDims,
+    SegmenterDims,
+    embedder_forward,
+    init_embedder,
+    init_segmenter,
+    segmenter_forward,
+)
+from whisperkit_tpu.ops.mel import log_mel_spectrogram
+from whisperkit_tpu.speaker.clustering import VBxClusterer, VBxClusteringConfig
+from whisperkit_tpu.speaker.results import DiarizationResult, SpeakerMergeStrategy
+
+
+@dataclasses.dataclass
+class DiarizationOptions:
+    """Reference: PyannoteDiarizationOptions (PyannoteConfig.swift:122-146)."""
+
+    number_of_speakers: Optional[int] = None
+    min_active_offset: float = 1.0
+    cluster_distance_threshold: Optional[float] = None
+    min_cluster_size: int = 1
+    use_exclusive_reconciliation: bool = True
+    clip_timestamps: Sequence[float] = ()
+    min_activity_threshold: float = 0.5
+
+
+@dataclasses.dataclass
+class DiarizationTimings:
+    """Reference: PyannoteDiarizationTimings (PyannoteConfig.swift:150-210)."""
+
+    segmenter_seconds: float = 0.0
+    embedder_seconds: float = 0.0
+    clustering_seconds: float = 0.0
+    post_process_seconds: float = 0.0
+    total_seconds: float = 0.0
+    chunk_count: int = 0
+    embedding_count: int = 0
+
+
+@dataclasses.dataclass
+class PyannoteConfig:
+    """Reference: PyannoteConfig (PyannoteConfig.swift:11-41)."""
+
+    stride_seconds: float = 15.0  # chunk overlap stride (fullRedundancy)
+    segmenter_dims: SegmenterDims = dataclasses.field(default_factory=SegmenterDims)
+    embedder_dims: EmbedderDims = dataclasses.field(default_factory=EmbedderDims)
+    clustering: VBxClusteringConfig = dataclasses.field(default_factory=VBxClusteringConfig)
+    seed: int = 0
+
+
+class DiarizePipeline:
+    """Reference: SpeakerKit + PyannoteDiarizerActor."""
+
+    def __init__(
+        self,
+        config: Optional[PyannoteConfig] = None,
+        *,
+        segmenter_params=None,
+        embedder_params=None,
+    ):
+        self.config = config or PyannoteConfig()
+        key = jax.random.PRNGKey(self.config.seed)
+        k1, k2 = jax.random.split(key)
+        self.segmenter_params = (
+            segmenter_params
+            if segmenter_params is not None
+            else init_segmenter(k1, self.config.segmenter_dims)
+        )
+        self.embedder_params = (
+            embedder_params
+            if embedder_params is not None
+            else init_embedder(k2, self.config.embedder_dims)
+        )
+        self.timings = DiarizationTimings()
+
+    @classmethod
+    def from_pretrained(cls, model_folder: Optional[str] = None, **kwargs):
+        """Load converted checkpoint params when available; random init
+        otherwise (no public TPU pyannote conversion exists yet)."""
+        if model_folder:
+            folder = Path(model_folder)
+            seg = folder / "segmenter.npz"
+            emb = folder / "embedder.npz"
+            if seg.exists() and emb.exists():
+                def load_npz(p):
+                    data = np.load(p, allow_pickle=True)
+                    return data["params"].item()
+
+                return cls(
+                    segmenter_params=load_npz(seg),
+                    embedder_params=load_npz(emb),
+                    **kwargs,
+                )
+            logging.error(f"no pyannote params in {model_folder}; using random init")
+        return cls(**kwargs)
+
+    # -- engine -------------------------------------------------------------
+
+    def diarize(
+        self,
+        audio: Union[str, Path, np.ndarray],
+        options: Optional[DiarizationOptions] = None,
+        progress=None,
+    ) -> DiarizationResult:
+        options = options or DiarizationOptions()
+        t_start = time.perf_counter()
+        if isinstance(audio, (str, Path)):
+            audio = load_audio(audio)
+        audio = np.asarray(audio, np.float32)
+        if options.clip_timestamps:
+            s = int(options.clip_timestamps[0] * SAMPLE_RATE)
+            e = (
+                int(options.clip_timestamps[1] * SAMPLE_RATE)
+                if len(options.clip_timestamps) > 1
+                else len(audio)
+            )
+            audio = audio[s:e]
+
+        sdims = self.config.segmenter_dims
+        stride = int(self.config.stride_seconds * SAMPLE_RATE)
+        chunk_starts = list(range(0, max(len(audio) - 1, 1), stride))
+        # drop strided chunks fully covered by the previous one
+        chunk_starts = [
+            c for c in chunk_starts if c == 0 or c + stride <= len(audio) + stride
+        ]
+
+        chunks = np.stack(
+            [
+                _pad_to(audio[c : c + CHUNK_SAMPLES], CHUNK_SAMPLES)
+                for c in chunk_starts
+            ]
+        )
+        n_chunks = len(chunk_starts)
+        self.timings.chunk_count = n_chunks
+
+        # ---- segmenter (one batched call) ---------------------------------
+        t0 = time.perf_counter()
+        seg_out = segmenter_forward(self.segmenter_params, jnp.asarray(chunks), sdims)
+        activity = np.asarray(seg_out["speaker_activity"])  # [C, F, S]
+        self.timings.segmenter_seconds = time.perf_counter() - t0
+        if progress:
+            progress(0.4)
+
+        # ---- embedder (one batched call over (chunk, slot) pairs) ---------
+        t0 = time.perf_counter()
+        frames = sdims.frames_per_chunk
+        frame_sec = CHUNK_SAMPLES / SAMPLE_RATE / frames
+        n_slots = sdims.n_local_speakers
+        active = activity > options.min_activity_threshold  # [C, F, S]
+
+        pairs = [
+            (c, s)
+            for c in range(n_chunks)
+            for s in range(n_slots)
+            if active[c, :, s].any()
+        ]
+        embeddings = np.zeros((0, self.config.embedder_dims.embedding_dim), np.float32)
+        ratios: list[float] = []
+        if pairs:
+            mel_frames = 3000  # 30 s of 10 ms mel frames
+            fbanks = log_mel_spectrogram(
+                jnp.asarray(chunks), n_mels=self.config.embedder_dims.n_mels
+            )  # [C, M, 3000]
+            fb = jnp.stack([fbanks[c] for c, _ in pairs])
+            # upsample activity to the mel frame grid for masking
+            masks = np.stack(
+                [
+                    np.repeat(activity[c, :, s], mel_frames // frames)[:mel_frames]
+                    for c, s in pairs
+                ]
+            )
+            embeddings = np.asarray(
+                embedder_forward(
+                    self.embedder_params,
+                    fb,
+                    jnp.asarray(masks, jnp.float32),
+                    self.config.embedder_dims,
+                )
+            )
+            ratios = [float(active[c, :, s].mean()) for c, s in pairs]
+        self.timings.embedder_seconds = time.perf_counter() - t0
+        self.timings.embedding_count = len(pairs)
+        if progress:
+            progress(0.7)
+
+        # ---- clustering ---------------------------------------------------
+        t0 = time.perf_counter()
+        cconf = dataclasses.replace(
+            self.config.clustering,
+            cluster_distance_threshold=(
+                options.cluster_distance_threshold
+                if options.cluster_distance_threshold is not None
+                else self.config.clustering.cluster_distance_threshold
+            ),
+            min_cluster_size=options.min_cluster_size,
+        )
+        clusterer = VBxClusterer(cconf)
+        for emb, ratio in zip(embeddings, ratios):
+            clusterer.add(emb, ratio)
+        labels = clusterer.cluster(options.number_of_speakers)
+        self.timings.clustering_seconds = time.perf_counter() - t0
+        if progress:
+            progress(0.85)
+
+        # ---- post-process: aggregate overlapped windows -------------------
+        t0 = time.perf_counter()
+        n_speakers = int(labels.max()) + 1 if len(labels) else 0
+        total_frames = math.ceil(len(audio) / SAMPLE_RATE / frame_sec)
+        counts = np.zeros((max(n_speakers, 1), total_frames), np.float32)
+        weights = np.zeros(total_frames, np.float32)
+        for (c, s), label in zip(pairs, labels):
+            f0 = int(round(chunk_starts[c] / SAMPLE_RATE / frame_sec))
+            span = min(frames, total_frames - f0)
+            if span <= 0:
+                continue
+            counts[label, f0 : f0 + span] += activity[c, :span, s]
+            weights[f0 : f0 + span] += 1.0
+        weights = np.maximum(weights, 1.0)
+        avg = counts / weights  # [K, total_frames]
+
+        if options.use_exclusive_reconciliation:
+            # exclusive top-1: a frame belongs to its strongest speaker only
+            binary = np.zeros_like(avg, dtype=bool)
+            any_active = avg.max(0) > options.min_activity_threshold
+            top = avg.argmax(0)
+            binary[top[any_active], np.nonzero(any_active)[0]] = True
+        else:
+            binary = avg > options.min_activity_threshold
+        self.timings.post_process_seconds = time.perf_counter() - t0
+
+        result = DiarizationResult.from_activity_matrix(
+            binary, frame_sec, options.min_active_offset
+        )
+        self.timings.total_seconds = time.perf_counter() - t_start
+        result.timings = dataclasses.asdict(self.timings)
+        if progress:
+            progress(1.0)
+        return result
+
+    # -- transcript merge (reference: SpeakerKit.generateRTTM + merge) ------
+
+    @staticmethod
+    def merge_with_transcript(
+        diarization: DiarizationResult,
+        transcription,
+        strategy: SpeakerMergeStrategy = SpeakerMergeStrategy.SEGMENT,
+    ):
+        return diarization.add_speaker_info(transcription, strategy)
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if len(x) >= n:
+        return x[:n]
+    return np.concatenate([x, np.zeros(n - len(x), x.dtype)])
