@@ -1,0 +1,145 @@
+"""Core components: model support matrix, concurrency utils, signposts,
+multi-chip pipeline sharding.
+
+Reference test model: UnitTests.swift model-support config parsing/merging
+(:35-293) and PropertyLock concurrency tests (:3249-3330).
+"""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from whisperkit_tpu.core.concurrency import (
+    CoalescingLoader,
+    EarlyStopFlag,
+    PropertyLock,
+)
+from whisperkit_tpu.core.model_support import (
+    ModelSupportConfig,
+    current_device_identifier,
+    recommended_model,
+)
+from whisperkit_tpu.core.signposts import intervals, reset, signpost, summary
+
+
+def test_model_support_fallback_matrix():
+    cfg = ModelSupportConfig.fallback()
+    tpu = cfg.model_support("tpu-v5e")
+    assert tpu.default == "large-v3-turbo"
+    assert "large-v3" in tpu.supported
+    cpu = cfg.model_support("cpu")
+    assert cpu.default == "tiny"
+    assert "large-v3" not in cpu.supported
+
+
+def test_model_support_remote_merge(tmp_path):
+    remote = {
+        "deviceSupports": [
+            {
+                "identifiers": ["cpu"],
+                "models": {"default": "base", "supported": ["base", "small"]},
+            },
+            {
+                "identifiers": ["tpu-v6e"],
+                "models": {"default": "large-v3", "supported": ["large-v3"]},
+            },
+        ]
+    }
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(remote))
+    cfg = ModelSupportConfig.from_json(p)
+    assert cfg.model_support("cpu").default == "base"  # overridden
+    assert cfg.model_support("tpu-v6e").default == "large-v3"  # appended
+    assert cfg.model_support("tpu-v5e").default == "large-v3-turbo"  # fallback kept
+
+
+def test_current_device_identifier_and_recommendation():
+    ident = current_device_identifier()
+    assert isinstance(ident, str) and ident
+    assert recommended_model("cpu") == "tiny"
+
+
+def test_property_lock_concurrent_increment():
+    counter = PropertyLock(0)
+    threads = [
+        threading.Thread(target=lambda: [counter.with_lock(lambda v: v + 1) for _ in range(500)])
+        for _ in range(8)
+    ]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert counter.get() == 4000
+
+
+def test_early_stop_flag():
+    flag = EarlyStopFlag()
+    assert not flag.should_stop
+    flag.stop()
+    assert flag.should_stop
+    flag.reset()
+    assert not flag.should_stop
+
+
+def test_coalescing_loader_single_load():
+    calls = []
+
+    def load():
+        calls.append(1)
+        import time
+
+        time.sleep(0.05)
+        return "model"
+
+    loader = CoalescingLoader(load)
+    results = [None] * 8
+
+    def worker(i):
+        results[i] = loader.ensure_loaded()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert all(r == "model" for r in results)
+    assert len(calls) == 1  # coalesced
+
+
+def test_coalescing_loader_propagates_error():
+    loader = CoalescingLoader(lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.raises(RuntimeError):
+        loader.ensure_loaded()
+
+
+def test_signpost_intervals():
+    jax = pytest.importorskip("jax")
+    reset()
+    with signpost("EncodeAudio"):
+        pass
+    with signpost("EncodeAudio"):
+        pass
+    assert len(intervals("EncodeAudio")) == 2
+    s = summary()
+    assert s["EncodeAudio"]["count"] == 2
+
+
+def test_pipeline_multichip_sharded_vad_batch():
+    """8 virtual CPU devices: the VAD chunk batch shards over dp and the
+    result matches expectations (padding rows dropped)."""
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from whisperkit_tpu.core.configurations import DecodingOptions
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    pipe = WhisperPipeline(dims=dims, params=init_params(jax.random.PRNGKey(0), dims))
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(sample_length=6, language="en", chunking_strategy="vad"),
+    )
+    assert pipe._mesh() is not None  # mesh path active
+    assert res.segments
+    assert max(s.start for s in res.segments) > 25.0

@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_decoding_args(t)
     t.add_argument("--audio-path", nargs="+", required=False, default=[])
     t.add_argument("--audio-folder", default=None)
+    t.add_argument("--stream", action="store_true",
+                   help="live microphone transcription (needs PortAudio)")
     t.add_argument("--stream-simulated", action="store_true",
                    help="replay the file as a live stream with eager word confirmation")
     t.add_argument("--report", action="store_true", help="write report files")
@@ -171,6 +173,8 @@ def cmd_transcribe(args) -> int:
     pipe = _build_pipeline(args)
     options = _decode_options(args, pipe.tokenizer)
 
+    if args.stream:
+        return _stream_live(pipe, options)
     if args.stream_simulated:
         return _stream_simulated(pipe, paths[0], options)
 
@@ -182,6 +186,8 @@ def cmd_transcribe(args) -> int:
             print(f"{path}: ERROR {result}", file=sys.stderr)
             rc = 1
             continue
+        if args.diarization:
+            result = _run_diarization(path, result)
         for line in format_segments(result.segments):
             print(line)
         dt = time.perf_counter() - t0
@@ -195,6 +201,41 @@ def cmd_transcribe(args) -> int:
                 out = make_writer(fmt, args.report_path).write(result, path.stem)
                 print(f"   wrote {out}", file=sys.stderr)
     return rc
+
+
+def _run_diarization(path: Path, result):
+    """Combined transcribe+diarize (reference: TranscribeCLI.runDiarization,
+    TranscribeCLI.swift:430)."""
+    from whisperkit_tpu.pipelines.diarize import DiarizePipeline
+    from whisperkit_tpu.speaker.results import SpeakerMergeStrategy
+
+    dia = DiarizePipeline().diarize(path)
+    merged = dia.add_speaker_info(result, SpeakerMergeStrategy.SEGMENT)
+    for seg in merged.segments:
+        if seg.speaker:
+            seg.text = f"[{seg.speaker}]{seg.text}"
+    return merged
+
+
+def _stream_live(pipe, options) -> int:
+    """Live mic transcription (reference: TranscribeCLI --stream)."""
+    from whisperkit_tpu.audio.capture import MicrophoneSource, capture_available
+    from whisperkit_tpu.pipelines.streaming import AudioStreamTranscriber
+
+    if not capture_available():
+        print("no microphone backend (sounddevice) on this host", file=sys.stderr)
+        return 2
+    source = MicrophoneSource()
+    st = AudioStreamTranscriber(pipe, options)
+    try:
+        for state in st.stream(source):
+            confirmed = "".join(s.text for s in state.confirmed_segments)
+            pending = "".join(s.text for s in state.unconfirmed_segments)
+            print(f"\r{confirmed}\033[90m{pending}\033[0m", end="", flush=True)
+    except KeyboardInterrupt:
+        source.stop()
+    print()
+    return 0
 
 
 def _stream_simulated(pipe, path: Path, options) -> int:

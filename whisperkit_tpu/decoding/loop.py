@@ -203,6 +203,34 @@ def decode_loop(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("dims", "alignment_heads")
+)
+def alignment_forward(
+    params,
+    cross_k,
+    cross_v,
+    tokens: jnp.ndarray,  # [B, T] full sequence (prompt + sampled)
+    *,
+    dims: WhisperDims,
+    alignment_heads: tuple,
+) -> jnp.ndarray:
+    """One teacher-forced pass capturing alignment-head cross-attention.
+
+    Used when the sampling loop didn't capture alignment (beam search) —
+    the same strategy openai/whisper timing.py uses (a dedicated forward
+    for word timestamps). Returns [T, B, A, 1500].
+    """
+    b, t = tokens.shape
+    kv_shape = (dims.n_text_layer, b, dims.n_text_head, t, dims.head_dim)
+    kv = (jnp.zeros(kv_shape, jnp.bfloat16), jnp.zeros(kv_shape, jnp.bfloat16))
+    _, _, cross_probs = decoder_forward(
+        params, tokens, 0, kv[0], kv[1], cross_k, cross_v, dims,
+        capture_alignment=True,
+    )
+    return _gather_alignment(cross_probs, np.asarray(alignment_heads, np.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("dims", "special"))
 def detect_language_logits(
     params, cross_k, cross_v, *, dims: WhisperDims, special: SpecialTokens

@@ -104,6 +104,7 @@ class WhisperPipeline:
         self.timings = TranscriptionTimings()
         self._suppress_cache: dict[tuple, jnp.ndarray] = {}
         self._detected_language: Optional[str] = None
+        self._mesh_plan = None  # lazily built when >1 device is visible
 
         if params is not None and dims is not None:
             if tokenizer is None:
@@ -222,6 +223,25 @@ class WhisperPipeline:
     def _mel(self, window: np.ndarray) -> jnp.ndarray:
         return log_mel_spectrogram(jnp.asarray(window), n_mels=self.dims.n_mels)
 
+    def _mesh(self):
+        """Data-parallel mesh over all visible devices (SURVEY.md §2.6: the
+        chunk batch shards over ICI; params replicate). Built lazily; None
+        on a single device."""
+        if self._mesh_plan is None:
+            co = self.config.compute_options
+            n = len(jax.devices())
+            dp = co.dp_size or (n // co.tp_size)
+            if dp * co.tp_size <= 1:
+                self._mesh_plan = False
+            else:
+                from whisperkit_tpu.parallel.mesh import make_mesh
+
+                self._mesh_plan = make_mesh(dp=dp, tp=co.tp_size)
+                self.params = jax.device_put(
+                    self.params, self._mesh_plan.replicated
+                )
+        return self._mesh_plan or None
+
     # -- language detection -------------------------------------------------
 
     def detect_language(self, audio: Union[str, Path, np.ndarray]) -> tuple[str, dict[str, float]]:
@@ -324,9 +344,21 @@ class WhisperPipeline:
             tokens_np = np.asarray(out.tokens)
             lps_np = np.asarray(out.token_logprobs)
             nsp_np = np.asarray(out.no_speech_prob)
-            align_np = (
-                np.asarray(out.alignment) if capture and not use_beam else None
-            )
+            if capture and not use_beam:
+                align_np = np.asarray(out.alignment)
+            elif capture and use_beam:
+                # beam search doesn't capture in-loop: one teacher-forced
+                # pass over the winning hypotheses (openai timing.py style)
+                from whisperkit_tpu.decoding.loop import alignment_forward
+
+                align_np = np.asarray(
+                    alignment_forward(
+                        self.params, cross_k, cross_v, out.tokens,
+                        dims=self.dims, alignment_heads=align_heads,
+                    )
+                )
+            else:
+                align_np = None
             self.timings.decoding_loop += time.perf_counter() - t0
             if rung > 0:
                 self.timings.decoding_fallback += time.perf_counter() - t0
@@ -446,11 +478,27 @@ class WhisperPipeline:
             metas.append((c.seek_offset_index, window_frames))
         self.timings.total_log_mel_runs += len(mels)
         mel_batch = jnp.stack(mels)
+
+        # multi-chip: pad the chunk batch to a dp multiple with silent
+        # windows and shard it over ICI (params stay replicated)
+        plan = self._mesh()
+        n_real = mel_batch.shape[0]
+        if plan is not None:
+            padded = plan.pad_batch(n_real)
+            if padded != n_real:
+                pad_mel = self._mel(np.zeros(WINDOW_SAMPLES, np.float32))
+                mel_batch = jnp.concatenate(
+                    [mel_batch, jnp.tile(pad_mel[None], (padded - n_real, 1, 1))]
+                )
+            from whisperkit_tpu.parallel.mesh import shard_batch
+
+            mel_batch = shard_batch(plan, mel_batch)
+
         _, ck, cv = encode_window(self.params, mel_batch, self.dims)
         self.timings.total_encoding_runs += len(mels)
 
         language = self._resolve_language(options, ck, cv)
-        decodes = self._decode_with_fallback(ck, cv, options, language, 0)
+        decodes = self._decode_with_fallback(ck, cv, options, language, 0)[:n_real]
         self.timings.total_decoding_windows += len(decodes)
 
         all_segments: list[TranscriptionSegment] = []
