@@ -23,6 +23,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from whisperkit_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from whisperkit_tpu.decoding.loop import DecodeScalars, decode_loop, encode_window
     from whisperkit_tpu.models.whisper import VARIANT_DIMS, init_params
     from whisperkit_tpu.ops.mel import log_mel_spectrogram

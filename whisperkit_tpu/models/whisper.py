@@ -166,8 +166,19 @@ def init_params(key, dims: WhisperDims, dtype=jnp.bfloat16) -> PyTree:
 
 
 # f32 matmuls use true-f32 MXU passes (JAX's default precision is bf16-ish on
-# both TPU and CPU, which breaks parity tests); bf16 inputs are unaffected.
+# both TPU and CPU, which breaks parity tests). bf16 inputs must NOT use
+# HIGHEST: on TPU it forces multi-pass (≈6×-cost) accumulation, capping the
+# encoder at ~20% MXU. Precision is therefore chosen from the traced dtype.
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _prec(*xs):
+    """HIGHEST only when an operand is float32 (parity paths); DEFAULT for
+    the bf16 production path (single-pass MXU)."""
+    for x in xs:
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return _HI
+    return jax.lax.Precision.DEFAULT
 
 
 def layer_norm(x, p, eps=1e-5):
@@ -179,7 +190,7 @@ def layer_norm(x, p, eps=1e-5):
 
 
 def dense(x, p):
-    y = jnp.dot(x, p["w"], precision=_HI)
+    y = jnp.dot(x, p["w"], precision=_prec(x, p["w"]))
     if "b" in p:
         y = y + p["b"]
     return y
@@ -200,12 +211,14 @@ def _attend(q, k, v, mask=None, capture_probs=False):
     scale = q.shape[-1] ** -0.25
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, k * scale,
-        precision=_HI, preferred_element_type=jnp.float32,
+        precision=_prec(q, k), preferred_element_type=jnp.float32,
     )
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v, precision=_HI)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, precision=_prec(v)
+    )
     if capture_probs:
         return out, probs
     return out
@@ -232,7 +245,7 @@ def _conv1d(x, w, b, stride):
         window_strides=(stride,),
         padding=[(1, 1)],
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=_HI,
+        precision=_prec(w),
     )
     return y + b[None, :, None]
 
@@ -368,6 +381,7 @@ def decoder_forward(
     x = layer_norm(x, dec["ln"])
     logits = jnp.einsum(
         "btd,vd->btv", x, dec["token_embed"],
-        precision=_HI, preferred_element_type=jnp.float32,
+        precision=_prec(x, dec["token_embed"]),
+        preferred_element_type=jnp.float32,
     )
     return logits, (kv_k, kv_v), cross_probs

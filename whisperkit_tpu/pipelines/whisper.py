@@ -95,6 +95,9 @@ class WhisperPipeline:
         alignment_heads: Optional[np.ndarray] = None,
         **kwargs,
     ):
+        from whisperkit_tpu.core.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config or WhisperConfig(**kwargs)
         self.model_state = ModelState.UNLOADED
         self.dims: Optional[WhisperDims] = dims

@@ -72,8 +72,17 @@ def _result_payload(result, response_format: str):
     return json.dumps({"text": result.text}), "application/json"
 
 
-def create_app(pipeline):
+def create_app(pipeline, *, batching: bool = True, max_batch: int = 16):
+    """`batching=True` routes non-streaming requests through the continuous
+    batcher so concurrent clients share one TPU decode
+    (pipelines/scheduler.py)."""
     from aiohttp import web
+
+    scheduler = None
+    if batching:
+        from whisperkit_tpu.pipelines.scheduler import BatchScheduler
+
+        scheduler = BatchScheduler(pipeline, max_batch=max_batch)
 
     async def health(request):
         return web.json_response(
@@ -137,9 +146,17 @@ def create_app(pipeline):
         try:
             if stream:
                 return await _handle_streaming(request, audio_path, options)
-            result = await loop.run_in_executor(
-                None, lambda: pipeline.transcribe(audio_path, options)
-            )
+            if scheduler is not None:
+                from whisperkit_tpu.audio.io import load_audio
+
+                audio = await loop.run_in_executor(None, load_audio, audio_path)
+                result = await asyncio.wrap_future(
+                    scheduler.submit(audio, options)
+                )
+            else:
+                result = await loop.run_in_executor(
+                    None, lambda: pipeline.transcribe(audio_path, options)
+                )
             body, ctype = _result_payload(result, response_format)
             return web.Response(text=body, content_type=ctype)
         except Exception as e:  # surface as OpenAI-style error object
