@@ -143,3 +143,37 @@ def test_pipeline_multichip_sharded_vad_batch():
     assert pipe._mesh() is not None  # mesh path active
     assert res.segments
     assert max(s.start for s in res.segments) > 25.0
+
+
+def test_model_manager_lifecycle():
+    from whisperkit_tpu.core.model_manager import ModelManager
+    from whisperkit_tpu.core.modelstate import ModelState
+
+    transitions = []
+    loads = []
+    mgr = ModelManager(
+        load_fn=lambda: loads.append(1) or "M",
+        prewarm_fn=lambda m: None,
+        state_callback=lambda old, new: transitions.append((old, new)),
+    )
+    assert mgr.state == ModelState.UNLOADED
+    m = mgr.ensure_loaded(prewarm=True)
+    assert m == "M"
+    assert mgr.state == ModelState.LOADED
+    assert (ModelState.LOADING, ModelState.PREWARMING) in transitions or (
+        ModelState.UNLOADED, ModelState.LOADING
+    ) in transitions
+    mgr.ensure_loaded()
+    assert len(loads) == 1  # idempotent
+    mgr.unload()
+    assert mgr.state == ModelState.UNLOADED
+
+
+def test_detect_variant_turbo_distil():
+    from whisperkit_tpu.core.registry import detect_variant
+
+    assert detect_variant(51866, 1280, decoder_layers=4) == "large-v3-turbo"
+    assert detect_variant(51866, 1280, decoder_layers=2) == "distil-large-v3"
+    assert detect_variant(51866, 1280, decoder_layers=32) == "large-v3"
+    assert detect_variant(51865, 1280) == "large-v2"
+    assert detect_variant(51864, 384) == "tiny.en"

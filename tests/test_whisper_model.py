@@ -179,3 +179,56 @@ def test_variant_dims_table():
     assert VARIANT_DIMS["large-v3"].n_mels == 128
     assert VARIANT_DIMS["large-v3"].n_vocab == 51866
     assert VARIANT_DIMS["large-v3-turbo"].n_text_layer == 4
+
+
+def test_greedy_decode_parity_vs_torch(torch_whisper, ours):
+    """End-to-end: our jitted while_loop greedy decode must produce the
+    exact token sequence of a hand-rolled torch greedy loop on the same
+    weights — validates prefill, KV cache, incremental steps, and logits
+    head together."""
+    import torch
+
+    from whisperkit_tpu.decoding.loop import DecodeScalars, decode_loop, encode_window
+    from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab
+
+    model, _ = torch_whisper
+    dims, params = ours
+    sp = special_tokens_for_vocab(dims.n_vocab)
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)
+    prompt = [[3, 5], [3, 9]]  # decoder_start + arbitrary token
+    max_new = 10
+
+    # torch greedy
+    with torch.no_grad():
+        feats = torch.from_numpy(mel)
+        ids = torch.tensor(prompt)
+        enc = model.model.encoder(feats).last_hidden_state
+        for _ in range(max_new):
+            logits = model(encoder_outputs=(enc,), decoder_input_ids=ids).logits
+            ids = torch.cat([ids, logits[:, -1].argmax(-1, keepdim=True)], dim=1)
+    torch_tokens = ids[:, 2:].numpy()
+
+    # ours
+    _, ck, cv = encode_window(params, jnp.asarray(mel), dims)
+    scalars = DecodeScalars(
+        temperature=jnp.float32(0.0),
+        max_initial_timestamp_index=jnp.int32(1500),
+        first_token_logprob_threshold=jnp.float32(float("-inf")),
+        rng_key=jax.random.PRNGKey(0),
+    )
+    out = decode_loop(
+        params, ck, cv, jnp.asarray(prompt, jnp.int32),
+        jnp.zeros((dims.n_vocab,), jnp.float32), scalars,
+        dims=dims, special=sp, sample_begin=2, max_new_tokens=max_new,
+        top_k=5, sot_index=0, use_timestamp_rules=False, suppress_blank=False,
+    )
+    our_tokens = np.asarray(out.tokens)[:, 2:]
+
+    for row in range(2):
+        t_row, o_row = torch_tokens[row], our_tokens[row]
+        # compare up to our first EOT (we stop there; torch keeps going)
+        eots = np.nonzero(o_row == sp.eot)[0]
+        n = int(eots[0]) + 1 if len(eots) else max_new
+        assert (t_row[:n] == o_row[:n]).all(), (row, t_row, o_row)

@@ -52,11 +52,14 @@ def is_model_multilingual(logits_dim: int) -> bool:
     return logits_dim >= 51865
 
 
-def detect_variant(logits_dim: int, encoder_dim: int) -> str:
+def detect_variant(
+    logits_dim: int, encoder_dim: int, decoder_layers: Optional[int] = None
+) -> str:
     """Sniff the Whisper variant from checkpoint dims.
 
     Reference: ModelUtilities.swift:128-173 `detectVariant` — maps
-    (vocab, d_model) to a variant name.
+    (vocab, d_model) to a variant name; decoder depth disambiguates
+    turbo (4 layers) and distil (2 layers) from full large-v3.
     """
     multilingual = is_model_multilingual(logits_dim)
     by_width = {384: "tiny", 512: "base", 768: "small", 1024: "medium", 1280: "large"}
@@ -65,7 +68,13 @@ def detect_variant(logits_dim: int, encoder_dim: int) -> str:
         raise ModelsUnavailable(f"unknown encoder width {encoder_dim}")
     if base == "large":
         # v3 grew the vocab to 51866 (adds <|yue|>)
-        return "large-v3" if logits_dim == 51866 else "large-v2"
+        if logits_dim != 51866:
+            return "large-v2"
+        if decoder_layers == 4:
+            return "large-v3-turbo"
+        if decoder_layers == 2:
+            return "distil-large-v3"
+        return "large-v3"
     return base if multilingual else f"{base}.en"
 
 

@@ -112,8 +112,9 @@ def decode_loop(
     heads_np = np.asarray(alignment_heads, np.int32) if capture else None
 
     kv_shape = (dims.n_text_layer, b, n_head, total, dims.head_dim)
-    kv_k = jnp.zeros(kv_shape, jnp.bfloat16)
-    kv_v = jnp.zeros(kv_shape, jnp.bfloat16)
+    kv_dtype = params["decoder"]["token_embed"].dtype  # f32 on parity paths
+    kv_k = jnp.zeros(kv_shape, kv_dtype)
+    kv_v = jnp.zeros(kv_shape, kv_dtype)
 
     # ---- prefill -----------------------------------------------------------
     logits, (kv_k, kv_v), cross_probs = decoder_forward(
