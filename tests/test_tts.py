@@ -167,3 +167,21 @@ def test_stream_blocks():
     assert res_frames <= 5
     if blocks:
         assert all(len(b) <= 2 * SAMPLES_PER_FRAME for b in blocks)
+
+
+def test_prompt_cache_reused_in_generate():
+    """Generation with a restored prefix KV must match generation that
+    prefills the same prefix inline (same seed, temperature 0)."""
+    pipe = TTSPipeline()
+    opts = GenerationOptions(voice="uma", language="english", max_new_tokens=5,
+                             temperature=0.0, seed=2, use_prompt_cache=False)
+    cold = pipe.generate("Hello there.", opts)
+
+    import dataclasses as dc
+
+    warm_opts = dc.replace(opts, use_prompt_cache=True)
+    pipe.build_prompt_cache(warm_opts)
+    assert pipe.prompt_cache.get("uma", "english", None) is not None
+    warm = pipe.generate("Hello there.", warm_opts)
+    assert warm.audio.shape == cold.audio.shape
+    np.testing.assert_allclose(warm.audio, cold.audio, atol=2e-2)

@@ -55,7 +55,7 @@ def apply_repetition_penalty(logits, counts, penalty):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "max_new_tokens", "top_k", "max_seq"),
+    static_argnames=("dims", "max_new_tokens", "top_k", "max_seq", "cached_len"),
 )
 def tts_generate_loop(
     params,
@@ -66,16 +66,31 @@ def tts_generate_loop(
     max_new_tokens: int,
     top_k: int = 50,
     max_seq: int = 0,
+    cached_kv=None,  # (k, v) prefix snapshot from tts_prefill, batch 1
+    cached_len: int = 0,
 ) -> TTSLoopOutput:
     b, p, d = prompt_embeds.shape
-    total = p + max_new_tokens + 1
+    total = cached_len + p + max_new_tokens + 1
     max_seq = max_seq or total
     kv_k, kv_v = init_code_kv_cache(dims, b, max_seq)
+    if cached_kv is not None and cached_len > 0:
+        # restore the voice/lang/instruction prefix KV (reference:
+        # Qwen3GenerateTask.swift:233-317 "restore KV snapshot"); broadcast
+        # the batch-1 snapshot to all rows
+        ck = jnp.broadcast_to(
+            cached_kv[0][:, :1, :, :cached_len], (dims.n_layer, b, dims.n_kv_head, cached_len, dims.head_dim)
+        ).astype(kv_k.dtype)
+        cv = jnp.broadcast_to(
+            cached_kv[1][:, :1, :, :cached_len], (dims.n_layer, b, dims.n_kv_head, cached_len, dims.head_dim)
+        ).astype(kv_v.dtype)
+        kv_k = jax.lax.dynamic_update_slice(kv_k, ck, (0, 0, 0, 0, 0))
+        kv_v = jax.lax.dynamic_update_slice(kv_v, cv, (0, 0, 0, 0, 0))
 
-    # prefill text prompt, then feed codec BOS
+    # prefill text prompt (after any cached prefix), then feed codec BOS
     _, _, (kv_k, kv_v) = code_decoder_forward(
-        params, prompt_embeds.astype(kv_k.dtype), 0, kv_k, kv_v, dims
+        params, prompt_embeds.astype(kv_k.dtype), cached_len, kv_k, kv_v, dims
     )
+    p = cached_len + p  # absolute position of BOS
     bos_embed = params["code_embed"][jnp.full((b, 1), CODEC_BOS)]
     logits, hidden, (kv_k, kv_v) = code_decoder_forward(
         params, bos_embed.astype(kv_k.dtype), p, kv_k, kv_v, dims

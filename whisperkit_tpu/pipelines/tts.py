@@ -245,7 +245,8 @@ class TTSPipeline:
 
     # -- prompt building ----------------------------------------------------
 
-    def _prompt_tokens(self, text: str, options: GenerationOptions) -> list[int]:
+    def _prefix_tokens(self, options: GenerationOptions) -> list[int]:
+        """Voice/language/instruction prefix — the prompt-cacheable part."""
         toks: list[int] = []
         if options.voice:
             toks.append(self.tokenizer.speaker_token(options.voice))
@@ -253,7 +254,10 @@ class TTSPipeline:
             toks.append(self.tokenizer.language_token(options.language))
         if options.instruction:
             toks.extend(self.tokenizer.encode(options.instruction))
-        toks.extend(self.tokenizer.encode(text))
+        return toks
+
+    def _prompt_tokens(self, text: str, options: GenerationOptions) -> list[int]:
+        toks = self._prefix_tokens(options) + self.tokenizer.encode(text)
         return toks or [0]
 
     def _embed(self, token_rows: list[list[int]]) -> jnp.ndarray:
@@ -290,7 +294,19 @@ class TTSPipeline:
         )
         if not chunks:
             return SpeechResult(audio=np.zeros(0, np.float32), text=text)
-        token_rows = [self._prompt_tokens(c, options) for c in chunks]
+
+        # prompt-cache hit: prefix KV is restored instead of re-prefilled
+        cached_kv, cached_len = None, 0
+        if options.use_prompt_cache:
+            hit = self.prompt_cache.get(
+                options.voice, options.language, options.instruction
+            )
+            if hit is not None:
+                cached_kv, cached_len = hit
+        if cached_len:
+            token_rows = [self.tokenizer.encode(c) or [0] for c in chunks]
+        else:
+            token_rows = [self._prompt_tokens(c, options) for c in chunks]
         prompt_embeds = self._embed(token_rows)
         timings.tokenize_seconds = time.perf_counter() - t0
         timings.chunks = len(chunks)
@@ -308,6 +324,8 @@ class TTSPipeline:
             dims=self.dims,
             max_new_tokens=options.max_new_tokens,
             top_k=options.top_k,
+            cached_kv=cached_kv,
+            cached_len=cached_len,
         )
         codes = np.asarray(out.codes)
         n_frames = np.asarray(out.n_frames)
@@ -339,11 +357,12 @@ class TTSPipeline:
     def build_prompt_cache(self, options: GenerationOptions) -> None:
         """Prefill the voice/language/instruction prefix once and snapshot
         its KV (reference: TTSKit.swift:609-683)."""
-        prefix = self._prompt_tokens("", options)
+        prefix = self._prefix_tokens(options)
+        if not prefix:
+            return
         embeds = self._embed([prefix])
         kv = tts_prefill(
-            self.params, embeds, dims=self.dims,
-            max_seq=len(prefix) + options.max_new_tokens + 1,
+            self.params, embeds, dims=self.dims, max_seq=len(prefix),
         )
         self.prompt_cache.put(
             options.voice, options.language, options.instruction, kv, len(prefix)
