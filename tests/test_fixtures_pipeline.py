@@ -1,0 +1,92 @@
+"""Full-pipeline tests on the reference's real audio fixtures.
+
+Reference test model: UnitTests decode tests run against real audio files
+(jfk.wav etc., TestUtils.swift:138-167). Weights here are random (no
+network), so assertions are structural: segment math, timings, durations.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from whisperkit_tpu.core.configurations import DecodingOptions
+from whisperkit_tpu.models.whisper import WhisperDims, init_params
+from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+DIMS = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return WhisperPipeline(dims=DIMS, params=init_params(jax.random.PRNGKey(0), DIMS))
+
+
+def test_jfk_wav_full_pipeline(pipe, resources):
+    res = pipe.transcribe(
+        resources / "jfk.wav", DecodingOptions(sample_length=8, language="en")
+    )
+    assert res.timings.input_audio_seconds == pytest.approx(11.0, abs=0.1)
+    assert res.segments
+    assert all(0 <= s.start <= s.end <= 11.5 for s in res.segments)
+    assert res.timings.audio_loading > 0
+
+
+def test_multichannel_m4a(pipe, resources):
+    """8_Channel_ID.m4a exercises the native decoder + channel downmix."""
+    from whisperkit_tpu.audio.io import load_audio
+
+    path = resources / "8_Channel_ID.m4a"
+    if not path.exists():
+        pytest.skip("fixture missing")
+    audio = load_audio(path)
+    assert audio.ndim == 1
+    assert audio.dtype == np.float32
+    res = pipe.transcribe(audio, DecodingOptions(sample_length=6, language="en"))
+    assert res.timings.input_audio_seconds > 1.0
+
+
+def test_qwen3_loader_round_trip(tmp_path):
+    """Save HF-named Qwen3 tensors, load, and check they landed."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from whisperkit_tpu.models.qwen3_loader import load_qwen3_tts
+
+    cfg = dict(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+               num_attention_heads=4, num_key_value_heads=2,
+               intermediate_size=64, max_position_embeddings=128)
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+
+    rng = np.random.default_rng(0)
+    tensors = {"model.embed_tokens.weight": rng.standard_normal((128, 32)).astype(np.float32),
+               "model.norm.weight": np.ones(32, np.float32)}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        for name, shape in [
+            ("self_attn.q_proj.weight", (32, 32)),
+            ("self_attn.k_proj.weight", (16, 32)),
+            ("self_attn.v_proj.weight", (16, 32)),
+            ("self_attn.o_proj.weight", (32, 32)),
+            ("mlp.gate_proj.weight", (64, 32)),
+            ("mlp.up_proj.weight", (64, 32)),
+            ("mlp.down_proj.weight", (32, 64)),
+            ("input_layernorm.weight", (32,)),
+            ("post_attention_layernorm.weight", (32,)),
+            ("self_attn.q_norm.weight", (8,)),
+            ("self_attn.k_norm.weight", (8,)),
+        ]:
+            tensors[p + name] = rng.standard_normal(shape).astype(np.float32)
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    dims, params = load_qwen3_tts(tmp_path, dtype=np.float32)
+    assert dims.d_model == 32 and dims.n_layer == 2
+    np.testing.assert_allclose(
+        np.asarray(params["text_embed"], np.float32),
+        tensors["model.embed_tokens.weight"], atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"]["wq"][1], np.float32),
+        tensors["model.layers.1.self_attn.q_proj.weight"].T, atol=1e-6,
+    )

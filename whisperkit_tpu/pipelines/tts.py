@@ -236,6 +236,11 @@ class TTSPipeline:
     def from_pretrained(cls, model_folder: Optional[str] = None, **kwargs):
         if model_folder:
             folder = Path(model_folder)
+            if (folder / "config.json").exists() and any(folder.glob("*.safetensors")):
+                from whisperkit_tpu.models.qwen3_loader import load_qwen3_tts
+
+                dims, params = load_qwen3_tts(folder)
+                return cls(dims, params=params, **kwargs)
             npz = folder / "qwen3_tts.npz"
             if npz.exists():
                 data = np.load(npz, allow_pickle=True)
