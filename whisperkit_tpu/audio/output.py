@@ -94,6 +94,33 @@ def save_wav(
     return path
 
 
+def save_audio(
+    samples: np.ndarray, path: Union[str, Path], sample_rate: int
+) -> Path:
+    """Format-inferring export: WAV natively, anything else (m4a/mp3/flac/
+    ogg) through the ffmpeg binary (reference: AudioOutput's WAV/M4A(AAC)
+    export, AudioOutput.swift:227-272)."""
+    path = Path(path)
+    if path.suffix.lower() in ("", ".wav"):
+        return save_wav(samples, path, sample_rate)
+    import shutil
+    import subprocess
+    import tempfile
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError(
+            f"exporting {path.suffix} needs the ffmpeg binary; use .wav instead"
+        )
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        save_wav(samples, tmp.name, sample_rate)
+        subprocess.run(
+            [ffmpeg, "-y", "-loglevel", "error", "-i", tmp.name, str(path)],
+            check=True,
+        )
+    return path
+
+
 def play(samples: np.ndarray, sample_rate: int) -> None:
     try:
         import sounddevice

@@ -152,23 +152,28 @@ def log_mel_spectrogram(
 # Fused Pallas kernel
 # ---------------------------------------------------------------------------
 
-_BLOCK_T = 250  # frames per grid step; 3000 % 250 == 0
+_BLOCK_T = 200  # frames per grid step; 3000 % 200 == 0 and 200 % 8 == 0
+# (TPU lowering requires the block's second-to-last dim divisible by 8)
 
 
 def _mel_kernel(sig_hbm_ref, cos_ref, sin_ref, mel_ref, out_ref, sig_vmem, dma_sem):
-    """One grid step: compute log10-mel for a block of _BLOCK_T frames.
+    """One grid step: log10-mel for _BLOCK_T frames of one batch row.
 
-    Successive blocks need *overlapping* signal spans (each frame overlaps its
-    neighbors by 240 samples), which BlockSpec's block-unit index_map cannot
-    express — so the signal stays in HBM (`pl.ANY`) and each step DMAs its
-    [(_BLOCK_T+2) * HOP] span into VMEM scratch explicitly.
+    Successive blocks need *overlapping* signal spans (each frame overlaps
+    its neighbors by 240 samples), which BlockSpec's block-unit index_map
+    cannot express — so the signal stays in HBM (`ANY` memory space) and
+    each step DMAs its [(_BLOCK_T+2) * HOP] span into VMEM scratch
+    explicitly. Grid is (batch, frame_blocks): batching lives in the grid
+    rather than vmap because the TPU lowering requires ANY-space operands
+    to keep a trivial block spec.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     copy = pltpu.make_async_copy(
-        sig_hbm_ref.at[pl.ds(i * _BLOCK_T, _BLOCK_T + 2), :],
+        sig_hbm_ref.at[b, pl.ds(i * _BLOCK_T, _BLOCK_T + 2), :],
         sig_vmem,
         dma_sem,
     )
@@ -185,7 +190,7 @@ def _mel_kernel(sig_hbm_ref, cos_ref, sin_ref, mel_ref, out_ref, sig_vmem, dma_s
     imag = jnp.dot(frames, sin_ref[:], precision=hi, preferred_element_type=jnp.float32)
     power = real * real + imag * imag
     mel = jnp.dot(power, mel_ref[:], precision=hi, preferred_element_type=jnp.float32)
-    out_ref[:] = jnp.log10(jnp.maximum(mel, 1e-10))
+    out_ref[0] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
 @functools.partial(jax.jit, static_argnames=("n_mels", "n_frames"))
@@ -196,40 +201,46 @@ def log_mel_spectrogram_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if audio.ndim == 2:
-        return jax.vmap(lambda a: log_mel_spectrogram_pallas(a, n_mels, n_frames))(audio)
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[None]
     assert n_frames % _BLOCK_T == 0, "n_frames must be a multiple of the frame block"
     cos_m, sin_m = (jnp.asarray(m) for m in _dft_window_matrices())
     mel_w = jnp.asarray(mel_filters(n_mels)).T
 
-    padded = _reflect_pad(audio.astype(jnp.float32))
+    b = audio.shape[0]
+    padded = jax.vmap(_reflect_pad)(audio.astype(jnp.float32))
     # Cover the last block's overhang: block i reads [i*BLOCK*160, ... + BLOCK*160+320).
     total = (n_frames + 2) * HOP_LENGTH
-    padded = jnp.concatenate(
-        [padded, jnp.zeros(max(0, total - padded.shape[0]), jnp.float32)]
-    )[:total]
+    pad_tail = max(0, total - padded.shape[1])
+    padded = jnp.pad(padded, ((0, 0), (0, pad_tail)))[:, :total]
 
-    grid = n_frames // _BLOCK_T
-
+    grid = (b, n_frames // _BLOCK_T)
+    sig_shape = (b, n_frames + 2, HOP_LENGTH)
     log_mel = pl.pallas_call(
         _mel_kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # signal stays in HBM; manual DMA
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # signal stays in HBM (manual per-block DMA); ANY-space operands
+            # must cover the full array with a trivial index map
+            pl.BlockSpec(sig_shape, lambda b, i: (0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec(cos_m.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(sin_m.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mel_w.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_BLOCK_T, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, _BLOCK_T, n_mels), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_frames, n_mels), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_frames, n_mels), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_BLOCK_T + 2, HOP_LENGTH), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-    )(padded.reshape(n_frames + 2, HOP_LENGTH), cos_m, sin_m, mel_w)
+    )(padded.reshape(b, n_frames + 2, HOP_LENGTH), cos_m, sin_m, mel_w)
 
-    log_spec = jnp.maximum(log_mel, log_mel.max() - 8.0)
+    # per-row dynamic-range clamp + whisper normalization
+    row_max = log_mel.max(axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_mel, row_max - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
-    return log_spec.T
+    out = log_spec.transpose(0, 2, 1)  # [B, n_mels, T]
+    return out[0] if squeeze else out

@@ -116,7 +116,9 @@ class SpeechResult:
         return len(self.audio) / self.sample_rate
 
     def save(self, path: Union[str, Path]) -> Path:
-        return save_wav(self.audio, path, self.sample_rate)
+        from whisperkit_tpu.audio.output import save_audio
+
+        return save_audio(self.audio, path, self.sample_rate)
 
 
 class TextChunker:
@@ -143,6 +145,36 @@ class TextChunker:
             else:
                 chunks.append(cur)
         return chunks
+
+
+class HFTTSTokenizer:
+    """Qwen BPE via a checkpoint's tokenizer.json (the `tokenizers` lib).
+
+    Reference: TTSTokenizer.swift:10-45 + the vendored Qwen tokenizer.
+    Speaker/language control tokens resolve through added special tokens
+    (`<|voice:NAME|>`, `<|lang:NAME|>`) and fall back to reserved rows.
+    """
+
+    def __init__(self, tokenizer_json: Union[str, Path], vocab_size: int):
+        from tokenizers import Tokenizer
+
+        self.tok = Tokenizer.from_file(str(tokenizer_json))
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str) -> list[int]:
+        return [t for t in self.tok.encode(text).ids if t < self.vocab_size]
+
+    def _special(self, token: str, fallback: int) -> int:
+        tid = self.tok.token_to_id(token)
+        return tid if tid is not None and tid < self.vocab_size else fallback
+
+    def speaker_token(self, voice: str) -> int:
+        return self._special(f"<|voice:{voice.lower()}|>", 1 + SPEAKERS[voice.lower()])
+
+    def language_token(self, language: str) -> int:
+        return self._special(
+            f"<|lang:{language.lower()}|>", 16 + LANGUAGES.index(language.lower())
+        )
 
 
 class ByteFallbackTokenizer:
@@ -240,7 +272,15 @@ class TTSPipeline:
                 from whisperkit_tpu.models.qwen3_loader import load_qwen3_tts
 
                 dims, params = load_qwen3_tts(folder)
-                return cls(dims, params=params, **kwargs)
+                tokenizer = None
+                if (folder / "tokenizer.json").exists():
+                    try:
+                        tokenizer = HFTTSTokenizer(
+                            folder / "tokenizer.json", dims.text_vocab
+                        )
+                    except Exception as e:
+                        logging.error(f"tokenizer.json load failed: {e}")
+                return cls(dims, params=params, tokenizer=tokenizer, **kwargs)
             npz = folder / "qwen3_tts.npz"
             if npz.exists():
                 data = np.load(npz, allow_pickle=True)

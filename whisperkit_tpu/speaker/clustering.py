@@ -239,13 +239,25 @@ class VBxClusterer:
     refinement → cosine re-assignment; kMeans fallback when the speaker
     count is fixed. Reference: VBxClustering.swift:45-248."""
 
-    def __init__(self, config: Optional[VBxClusteringConfig] = None):
+    def __init__(
+        self,
+        config: Optional[VBxClusteringConfig] = None,
+        plda: Optional[np.ndarray] = None,  # [D, D'] projection
+    ):
         self.config = config or VBxClusteringConfig()
+        # optional PLDA-style projection applied before clustering
+        # (reference: SpeakerEmbedderModel's optional PLDA model,
+        # SpeakerEmbedderModel.swift + PyannoteModelManager PLDA ModelInfo)
+        self.plda = plda
         self._embeddings: list[np.ndarray] = []
         self._active_ratios: list[float] = []
 
     def add(self, embedding: np.ndarray, active_ratio: float = 1.0) -> None:
-        self._embeddings.append(np.asarray(embedding, np.float32))
+        emb = np.asarray(embedding, np.float32)
+        if self.plda is not None:
+            emb = emb @ self.plda
+            emb = emb / (np.linalg.norm(emb) + 1e-10)
+        self._embeddings.append(emb)
         self._active_ratios.append(active_ratio)
 
     def reset(self) -> None:
