@@ -177,3 +177,30 @@ def test_detect_variant_turbo_distil():
     assert detect_variant(51866, 1280, decoder_layers=32) == "large-v3"
     assert detect_variant(51865, 1280) == "large-v2"
     assert detect_variant(51864, 384) == "tiny.en"
+
+
+def test_tensor_parallel_dryrun():
+    """Megatron-split params over tp=2 × dp=4 compile and run (XLA inserts
+    the collectives) on the virtual 8-device mesh."""
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_tp_sharding_tree_matches_params():
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.parallel.mesh import make_mesh
+    from whisperkit_tpu.parallel.sharding import shard_whisper_params
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    plan = make_mesh(dp=len(jax.devices()) // 2, tp=2)
+    sharded = shard_whisper_params(plan, params)
+    w = sharded["encoder"]["blocks"]["fc1"]["w"]
+    assert "tp" in str(w.sharding.spec)  # column-split landed

@@ -26,3 +26,23 @@ def load_pipeline(*args, **kwargs):
     from whisperkit_tpu.pipelines.whisper import WhisperPipeline
 
     return WhisperPipeline(*args, **kwargs)
+
+
+def __getattr__(name):  # lazy public surface (PEP 562)
+    lazy = {
+        "WhisperPipeline": ("whisperkit_tpu.pipelines.whisper", "WhisperPipeline"),
+        "DiarizePipeline": ("whisperkit_tpu.pipelines.diarize", "DiarizePipeline"),
+        "DiarizationOptions": ("whisperkit_tpu.pipelines.diarize", "DiarizationOptions"),
+        "TTSPipeline": ("whisperkit_tpu.pipelines.tts", "TTSPipeline"),
+        "GenerationOptions": ("whisperkit_tpu.pipelines.tts", "GenerationOptions"),
+        "AudioStreamTranscriber": ("whisperkit_tpu.pipelines.streaming", "AudioStreamTranscriber"),
+        "BatchScheduler": ("whisperkit_tpu.pipelines.scheduler", "BatchScheduler"),
+        "TranscriptionResult": ("whisperkit_tpu.core.results", "TranscriptionResult"),
+        "DiarizationResult": ("whisperkit_tpu.speaker.results", "DiarizationResult"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'whisperkit_tpu' has no attribute {name!r}")
