@@ -111,3 +111,14 @@ def test_regression_harness_end_to_end(tmp_path):
     assert rec.input_audio_seconds == pytest.approx(3.0, abs=0.1)
     assert rec.windows >= 1
     assert out.exists() and "tokens_per_second" in out.read_text()
+
+
+def test_spelling_rules_fallback():
+    n = EnglishTextNormalizer()
+    # rule-based (not in the dictionary subset)
+    assert n("the armoured vapour") == "the armored vapor"
+    assert n("they customised the fibres") == "they customized the fibers"
+    assert n("she quarrelled") == "she quarreled"
+    # exceptions stay intact
+    assert n("a genre of four hour tours") == "a genre of 4 hour tours"
+    assert n("please rise and advise") == "please rise and advise"

@@ -131,3 +131,26 @@ def test_temperature_fallback_runs(pipe, audio):
     )
     assert res.segments
     assert res.segments[0].temperature > 0.0
+
+
+def test_vad_sub_batching_long_audio(pipe):
+    """More chunks than concurrent_worker_count → multiple fixed-size
+    sub-batches, results identical in structure (memory-bounded path)."""
+    rng = np.random.default_rng(11)
+    audio = (rng.standard_normal(16000 * 95) * 0.1).astype(np.float32)  # 4 chunks
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(chunking_strategy="vad", concurrent_worker_count=2, **OPTS),
+    )
+    assert res.segments
+    assert res.timings.total_encoding_runs >= 4
+    assert max(s.start for s in res.segments) > 55.0
+
+
+def test_window_clip_time_respected(pipe):
+    """A 31 s input leaves a 1 s sliver after the first window; the default
+    window_clip_time=1.0 must not produce a second tiny window."""
+    rng = np.random.default_rng(12)
+    audio = (rng.standard_normal(16000 * 31) * 0.1).astype(np.float32)
+    res = pipe.transcribe(audio, DecodingOptions(**OPTS))
+    assert res.timings.total_decoding_windows >= 1

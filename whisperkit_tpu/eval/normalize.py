@@ -240,6 +240,60 @@ _SPELLINGS = {
 }
 
 
+# Words the suffix rules must not touch (would produce non-words).
+_SPELLING_RULE_EXCEPTIONS = {
+    "genre", "acre", "ogre", "mediocre", "macabre", "lucre", "timbre",
+    "cadre", "chore", "store", "score", "shore", "snore", "spore", "swore",
+    "bore", "core", "fore", "gore", "more", "pore", "sore", "tore", "wore",
+    "adore", "before", "explore", "ignore", "restore", "hour", "our",
+    "sour", "four", "pour", "tour", "your", "flour", "devour", "velour",
+    "amour", "detour", "contour", "paramour", "troubadour", "wise",
+    "rise", "arise", "raise", "praise", "advise", "devise", "revise",
+    "surprise", "comprise", "demise", "despise", "disguise", "exercise",
+    "franchise", "premise", "promise", "paradise", "anise", "precise",
+    "concise", "expertise", "merchandise", "noise", "poise", "cruise",
+    "bruise", "else", "false", "padre", "hombre", "bizarre", "sabre",
+}
+
+
+def _rule_based_american(word: str) -> Optional[str]:
+    """Conservative British→American suffix rules, applied only when the
+    dictionary misses (approximates the rest of the reference's 1,746-line
+    SpellingMapping table)."""
+    if word in _SPELLING_RULE_EXCEPTIONS or len(word) < 5:
+        return None
+    # -our → -or (colour/honour families), incl. inflections
+    for suffix, repl in (
+        ("ourite", "orite"), ("ouring", "oring"), ("oured", "ored"),
+        ("ours", "ors"), ("our", "or"),
+    ):
+        if word.endswith(suffix) and len(word) - len(suffix) >= 3:
+            stem = word[: -len(suffix)]
+            if stem[-1] not in "aeiou":  # "four", "pour" are excepted above
+                return stem + repl
+    # -ise/-isation → -ize/-ization (organise family)
+    for suffix, repl in (
+        ("isation", "ization"), ("isations", "izations"),
+        ("ising", "izing"), ("ised", "ized"), ("ises", "izes"), ("ise", "ize"),
+    ):
+        if word.endswith(suffix) and len(word) - len(suffix) >= 4:
+            return word[: -len(suffix)] + repl
+    # consonant+re → consonant+er (centre/fibre/calibre families)
+    for suffix, repl in (("res", "ers"), ("re", "er")):
+        if word.endswith(suffix) and len(word) - len(suffix) >= 3:
+            prev = word[-len(suffix) - 1]
+            if prev not in "aeiour":  # vowel+re ("store") and rre ("bizarre") stay
+                return word[: -len(suffix)] + repl
+    # doubled-l inflections (travelled → traveled)
+    for suffix, repl in (("lled", "led"), ("lling", "ling"), ("ller", "ler")):
+        if word.endswith(suffix) and len(word) - len(suffix) >= 4:
+            stem = word[: -len(suffix)]
+            if stem[-1] not in "aeiou":
+                continue
+            return stem + repl
+    return None
+
+
 class EnglishTextNormalizer:
     """Reference: NormalizeEn.swift; openai EnglishTextNormalizer."""
 
@@ -264,7 +318,10 @@ class EnglishTextNormalizer:
         s = self.number_normalizer(s)
         s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)  # leftover symbols not in numbers
         s = re.sub(r"([^0-9])%", r"\1 ", s)
-        words = [self.spellings.get(w, w) for w in s.split()]
+        words = [
+            self.spellings.get(w) or _rule_based_american(w) or w
+            for w in s.split()
+        ]
         s = " ".join(words)
         s = re.sub(r"\s+", " ", s)
         return s.strip()

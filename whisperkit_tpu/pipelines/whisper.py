@@ -469,7 +469,13 @@ class WhisperPipeline:
         self, audio: np.ndarray, options: DecodingOptions, callback=None
     ) -> TranscriptionResult:
         """VAD-chunk + batched decode (reference: WhisperKit.swift:867-931 →
-        TaskGroup; here one real batch)."""
+        TaskGroup; here real batches).
+
+        Chunks are decoded in sub-batches of `concurrent_worker_count`
+        windows (padded to that fixed size so XLA compiles ONE shape):
+        hours-long audio stays memory-bounded — cross-attention KV for an
+        unbounded batch would exceed HBM.
+        """
         chunker = VADAudioChunker()
         chunks = chunker.chunk_all(audio, max_chunk_length=WINDOW_SAMPLES)
         mels = []
@@ -480,28 +486,34 @@ class WhisperPipeline:
             mels.append(self._mel(pad_or_trim(seg, WINDOW_SAMPLES)))
             metas.append((c.seek_offset_index, window_frames))
         self.timings.total_log_mel_runs += len(mels)
-        mel_batch = jnp.stack(mels)
 
-        # multi-chip: pad the chunk batch to a dp multiple with silent
-        # windows and shard it over ICI (params stay replicated)
         plan = self._mesh()
-        n_real = mel_batch.shape[0]
+        group = max(1, options.concurrent_worker_count)
         if plan is not None:
-            padded = plan.pad_batch(n_real)
-            if padded != n_real:
-                pad_mel = self._mel(np.zeros(WINDOW_SAMPLES, np.float32))
-                mel_batch = jnp.concatenate(
-                    [mel_batch, jnp.tile(pad_mel[None], (padded - n_real, 1, 1))]
-                )
-            from whisperkit_tpu.parallel.mesh import shard_batch
+            group = plan.pad_batch(group)  # dp multiple
+        pad_mel = None
 
-            mel_batch = shard_batch(plan, mel_batch)
+        decodes: list[_WindowDecode] = []
+        language = options.language if options.language else None
+        for start in range(0, len(mels), group):
+            batch_mels = mels[start : start + group]
+            n_real = len(batch_mels)
+            if n_real < group:  # pad to the compiled batch size
+                if pad_mel is None:
+                    pad_mel = self._mel(np.zeros(WINDOW_SAMPLES, np.float32))
+                batch_mels = batch_mels + [pad_mel] * (group - n_real)
+            mel_batch = jnp.stack(batch_mels)
+            if plan is not None:
+                from whisperkit_tpu.parallel.mesh import shard_batch
 
-        _, ck, cv = encode_window(self.params, mel_batch, self.dims)
-        self.timings.total_encoding_runs += len(mels)
-
-        language = self._resolve_language(options, ck, cv)
-        decodes = self._decode_with_fallback(ck, cv, options, language, 0)[:n_real]
+                mel_batch = shard_batch(plan, mel_batch)
+            _, ck, cv = encode_window(self.params, mel_batch, self.dims)
+            self.timings.total_encoding_runs += n_real
+            if language is None:
+                language = self._resolve_language(options, ck, cv)
+            decodes.extend(
+                self._decode_with_fallback(ck, cv, options, language, start)[:n_real]
+            )
         self.timings.total_decoding_windows += len(decodes)
 
         all_segments: list[TranscriptionSegment] = []
@@ -576,10 +588,11 @@ class WhisperPipeline:
 
         for clip_start, clip_end in seek_clips:
             seek = clip_start
+            window_padding = max(1, int(options.window_clip_time * FRAMES_PER_SECOND))
             while seek < min(clip_end, content_frames):
                 remaining = content_frames - seek
-                if seek > clip_start and remaining < _WINDOW_PADDING_FRAMES:
-                    break  # trailing sliver (< 1 s), reference windowPadding
+                if seek > clip_start and remaining < window_padding:
+                    break  # trailing sliver, reference windowClipTime padding
                 window = audio[seek * 160 : seek * 160 + WINDOW_SAMPLES]
                 window_frames = min(WINDOW_FRAMES, min(remaining, clip_end - seek))
                 t_mel = time.perf_counter()
