@@ -232,3 +232,20 @@ def test_greedy_decode_parity_vs_torch(torch_whisper, ours):
         eots = np.nonzero(o_row == sp.eot)[0]
         n = int(eots[0]) + 1 if len(eots) else max_new
         assert (t_row[:n] == o_row[:n]).all(), (row, t_row, o_row)
+
+
+def test_converted_checkpoint_cache(torch_whisper):
+    """Second load of the same folder hits the Orbax converted cache and
+    matches the safetensors parse exactly."""
+    _, folder = torch_whisper
+    from whisperkit_tpu.models.loader import load_converted, save_converted
+
+    dims, params, _ = load_whisper(folder, dtype=jnp.bfloat16)  # saves cache
+    cached = load_converted(folder)
+    assert cached is not None
+    dims2, params2 = cached
+    assert dims2 == dims
+    np.testing.assert_array_equal(
+        np.asarray(params2["decoder"]["token_embed"], np.float32),
+        np.asarray(params["decoder"]["token_embed"], np.float32),
+    )

@@ -61,11 +61,25 @@ def load_whisper(
     generation_config.json when present (used for word-timestamp DTW).
     """
     folder = Path(folder)
-    with open(folder / "config.json") as f:
-        cfg = json.load(f)
-    dims = dims_from_hf_config(cfg)
-    tensors = _read_safetensors(folder)
-    params = convert_hf_state_dict(tensors, dims, dtype)
+    cached = None
+    if dtype == jnp.bfloat16:  # converted cache is stored in bf16
+        try:
+            cached = load_converted(folder)
+        except Exception as e:
+            logging.debug(f"converted-cache load failed ({e}); parsing safetensors")
+    if cached is not None:
+        dims, params = cached
+    else:
+        with open(folder / "config.json") as f:
+            cfg = json.load(f)
+        dims = dims_from_hf_config(cfg)
+        tensors = _read_safetensors(folder)
+        params = convert_hf_state_dict(tensors, dims, dtype)
+        if dtype == jnp.bfloat16:
+            try:
+                save_converted(folder, dims, params)
+            except Exception as e:  # read-only folder etc.
+                logging.debug(f"converted-cache save skipped: {e}")
 
     alignment_heads = None
     gen_cfg_path = folder / "generation_config.json"
@@ -177,3 +191,61 @@ def convert_hf_state_dict(
         "ln": ln("model.decoder.layer_norm"),
     }
     return {"encoder": encoder, "decoder": decoder}
+
+
+# ---------------------------------------------------------------------------
+# Converted-checkpoint cache (fast reload)
+# ---------------------------------------------------------------------------
+
+
+def save_converted(folder: Union[str, Path], dims: WhisperDims, params) -> Path:
+    """Persist the converted pytree with Orbax so large models skip the
+    safetensors parse + per-tensor transpose on later loads.
+
+    Reference behavior: CoreML caches compiled models after first load
+    (prewarm specialization, WhisperKit.swift:392-427); this is the weight-
+    side analogue.
+    """
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    folder = Path(folder).resolve()
+    ckpt = folder / "converted.orbax"
+    with ocp.StandardCheckpointer() as saver:
+        saver.save(ckpt, params, force=True)
+    with open(folder / "converted_dims.json", "w") as f:
+        json.dump(dataclasses.asdict(dims), f)
+    return ckpt
+
+
+def load_converted(folder: Union[str, Path]) -> Optional[tuple[WhisperDims, dict]]:
+    """Load a previously saved converted checkpoint, or None."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    folder = Path(folder).resolve()
+    ckpt = folder / "converted.orbax"
+    dims_path = folder / "converted_dims.json"
+    if not (ckpt.exists() and dims_path.exists()):
+        return None
+    with open(dims_path) as f:
+        dims = WhisperDims(**json.load(f))
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        init_params_abstract(dims),
+    )
+    with ocp.StandardCheckpointer() as loader:
+        params = loader.restore(ckpt, abstract)
+    return dims, params
+
+
+def init_params_abstract(dims: WhisperDims):
+    """Parameter tree structure without allocating device memory."""
+    import jax
+
+    from whisperkit_tpu.models.whisper import init_params
+
+    return jax.eval_shape(
+        lambda: init_params(jax.random.PRNGKey(0), dims)
+    )

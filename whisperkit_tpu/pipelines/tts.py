@@ -448,3 +448,12 @@ class TTSPipeline:
         step = block_frames * SAMPLES_PER_FRAME
         for i in range(0, len(audio), step):
             yield audio[i : i + step]
+
+
+# Variant presets (reference: Qwen3Config.swift:25-83 — 0.6b all-platform,
+# 1.7b with instruction support).
+TTS_VARIANTS: dict[str, Qwen3TTSDims] = {
+    "0.6b": Qwen3TTSDims(),
+    "1.7b": Qwen3TTSDims(d_model=2048, n_layer=28, n_head=16, n_kv_head=8, d_ff=6144),
+    "tiny-test": TINY_TTS_DIMS,
+}
