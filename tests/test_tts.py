@@ -185,3 +185,25 @@ def test_prompt_cache_reused_in_generate():
     warm = pipe.generate("Hello there.", warm_opts)
     assert warm.audio.shape == cold.audio.shape
     np.testing.assert_allclose(warm.audio, cold.audio, atol=2e-2)
+
+
+def test_left_pad_does_not_change_output(params):
+    """A short chunk batched with a long one (left-padded + masked) must
+    produce the same codes as decoding it alone (temperature 0)."""
+    d = TINY_TTS_DIMS.d_model
+    rng = np.random.default_rng(4)
+    short = jnp.asarray(rng.standard_normal((3, d)), jnp.float32)
+    long_ = jnp.asarray(rng.standard_normal((7, d)), jnp.float32)
+    kw = dict(dims=TINY_TTS_DIMS, max_new_tokens=5, top_k=5)
+
+    alone = tts_generate_loop(params, short[None], _scalars(0.0), **kw)
+    batched_embeds = jnp.stack(
+        [jnp.concatenate([jnp.zeros((4, d)), short]), long_]
+    )
+    both = tts_generate_loop(
+        params, batched_embeds, _scalars(0.0),
+        prompt_pad=jnp.asarray([4, 0], jnp.int32), **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(alone.codes)[0], np.asarray(both.codes)[0]
+    )

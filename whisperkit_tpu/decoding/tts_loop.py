@@ -68,11 +68,19 @@ def tts_generate_loop(
     max_seq: int = 0,
     cached_kv=None,  # (k, v) prefix snapshot from tts_prefill, batch 1
     cached_len: int = 0,
+    prompt_pad=None,  # [B] left-pad counts within prompt_embeds
 ) -> TTSLoopOutput:
     b, p, d = prompt_embeds.shape
     total = cached_len + p + max_new_tokens + 1
     max_seq = max_seq or total
     kv_k, kv_v = init_code_kv_cache(dims, b, max_seq)
+    if prompt_pad is None:
+        prompt_pad = jnp.zeros((b,), jnp.int32)
+    # pad slots sit right after any cached prefix: [cached_len, cached_len+pad)
+    slot_idx = jnp.arange(max_seq)[None, :]
+    key_invalid = (slot_idx >= cached_len) & (
+        slot_idx < cached_len + prompt_pad[:, None]
+    )
     if cached_kv is not None and cached_len > 0:
         # restore the voice/lang/instruction prefix KV (reference:
         # Qwen3GenerateTask.swift:233-317 "restore KV snapshot"); broadcast
@@ -86,14 +94,18 @@ def tts_generate_loop(
         kv_k = jax.lax.dynamic_update_slice(kv_k, ck, (0, 0, 0, 0, 0))
         kv_v = jax.lax.dynamic_update_slice(kv_v, cv, (0, 0, 0, 0, 0))
 
-    # prefill text prompt (after any cached prefix), then feed codec BOS
+    # prefill text prompt (after any cached prefix), then feed codec BOS;
+    # rotary positions shift left by the pad count so real tokens keep
+    # contiguous logical positions
     _, _, (kv_k, kv_v) = code_decoder_forward(
-        params, prompt_embeds.astype(kv_k.dtype), cached_len, kv_k, kv_v, dims
+        params, prompt_embeds.astype(kv_k.dtype), cached_len, kv_k, kv_v, dims,
+        rope_offset=cached_len - prompt_pad, key_invalid=key_invalid,
     )
-    p = cached_len + p  # absolute position of BOS
+    p = cached_len + p  # cache slot of BOS
     bos_embed = params["code_embed"][jnp.full((b, 1), CODEC_BOS)]
     logits, hidden, (kv_k, kv_v) = code_decoder_forward(
-        params, bos_embed.astype(kv_k.dtype), p, kv_k, kv_v, dims
+        params, bos_embed.astype(kv_k.dtype), p, kv_k, kv_v, dims,
+        rope_offset=p - prompt_pad, key_invalid=key_invalid,
     )
 
     codes = jnp.full((b, max_new_tokens, 16), CODEC_EOS, jnp.int32)
@@ -141,7 +153,8 @@ def tts_generate_loop(
         ].reshape(b, 15, -1).mean(1)
         nxt = (c0e + mce)[:, None].astype(kv_k.dtype)
         logits, hidden, (kv_k, kv_v) = code_decoder_forward(
-            params, nxt, p + 1 + step, kv_k, kv_v, dims
+            params, nxt, p + 1 + step, kv_k, kv_v, dims,
+            rope_offset=p + 1 + step - prompt_pad, key_invalid=key_invalid,
         )
         return (step + 1, codes, counts, (kv_k, kv_v), (logits, hidden), done, key)
 

@@ -170,10 +170,14 @@ def init_code_kv_cache(dims: Qwen3TTSDims, batch: int, max_seq: Optional[int] = 
 def code_decoder_forward(
     params: PyTree,
     embeds: jnp.ndarray,  # [B, T, D] input embeddings (text or code)
-    pos_offset,  # scalar
+    pos_offset,  # scalar: cache SLOT of embeds[:, 0]
     kv_k,
     kv_v,
     dims: Qwen3TTSDims,
+    rope_offset=None,  # [B] logical position of embeds[:, 0] (left-padding
+    # shifts logical positions without moving cache slots); default = slot
+    key_invalid=None,  # [B, S] True at cache slots that must never be
+    # attended (left-pad embeddings)
 ):
     """AR backbone step/prefill → (code0 logits [B,T,V], hidden [B,T,D], kv).
 
@@ -182,11 +186,23 @@ def code_decoder_forward(
     b, t, d = embeds.shape
     h, kvh, dh = dims.n_head, dims.n_kv_head, dims.head_dim
     s_max = kv_k.shape[3]
-    positions = pos_offset + jnp.arange(t)[None, :].repeat(b, 0)
+    if rope_offset is None:
+        positions = pos_offset + jnp.arange(t)[None, :].repeat(b, 0)
+    else:
+        positions = jnp.maximum(
+            rope_offset[:, None] + jnp.arange(t)[None, :], 0
+        )
 
     key_pos = jnp.arange(s_max)[None, :]
     query_pos = pos_offset + jnp.arange(t)[:, None]
     mask = jnp.where(key_pos <= query_pos, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
+    if key_invalid is not None:
+        # hide pad slots from every OTHER query; a pad slot still attends
+        # to itself so its activations stay finite (NaN k/v would otherwise
+        # poison later layers through the softmax)
+        is_self = (key_pos == query_pos)[None, None]  # [1,1,T,S]
+        inv = key_invalid[:, None, None, :] & ~is_self
+        mask = mask + jnp.where(inv, -jnp.inf, 0.0).astype(jnp.float32)
 
     x = embeds
 

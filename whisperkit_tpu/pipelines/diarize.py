@@ -150,9 +150,12 @@ class DiarizePipeline:
         sdims = self.config.segmenter_dims
         stride = int(self.config.stride_seconds * SAMPLE_RATE)
         chunk_starts = list(range(0, max(len(audio) - 1, 1), stride))
-        # drop strided chunks fully covered by the previous one
+        # drop trailing strided chunks whose audio span is fully covered by
+        # the previous chunk (they'd contribute only zero padding)
         chunk_starts = [
-            c for c in chunk_starts if c == 0 or c + stride <= len(audio) + stride
+            c
+            for c in chunk_starts
+            if c == 0 or c - stride + CHUNK_SAMPLES < len(audio)
         ]
 
         chunks = np.stack(

@@ -44,8 +44,8 @@ WINDOW_SAMPLES = 480_000
 
 
 def _options_key(options: DecodingOptions) -> tuple:
-    """Jobs with equal keys share one compiled decode (same prompt shape +
-    static flags)."""
+    """Jobs share one batched decode ONLY when every decode-affecting
+    option matches (the whole group is decoded with one options object)."""
     return (
         options.language,
         options.task,
@@ -57,6 +57,18 @@ def _options_key(options: DecodingOptions) -> tuple:
         options.suppress_blank,
         tuple(options.prompt_tokens or ()),
         tuple(options.prefix_tokens or ()),
+        options.temperature,
+        options.temperature_increment_on_fallback,
+        options.temperature_fallback_count,
+        tuple(options.suppress_tokens or ()),
+        options.compression_ratio_threshold,
+        options.logprob_threshold,
+        options.first_token_log_prob_threshold,
+        options.no_speech_threshold,
+        options.max_initial_timestamp,
+        options.length_penalty,
+        options.seed,
+        options.detect_language,
     )
 
 
@@ -66,6 +78,7 @@ class _Job:
     options: DecodingOptions
     future: concurrent.futures.Future
     enqueued_at: float
+    long: bool = False  # > one window: runs alone via pipeline.transcribe
 
 
 class BatchScheduler:
@@ -97,17 +110,16 @@ class BatchScheduler:
         options = options or DecodingOptions()
         future: concurrent.futures.Future = concurrent.futures.Future()
         audio = np.asarray(audio, np.float32)
-        if len(audio) > WINDOW_SAMPLES:
-            # long-form: the pipeline's VAD path batches internally
-            def run_long():
-                try:
-                    future.set_result(self.pipeline.transcribe(audio, options))
-                except Exception as e:
-                    future.set_exception(e)
-
-            threading.Thread(target=run_long, daemon=True).start()
-            return future
-        self._queue.put(_Job(audio, options, future, time.perf_counter()))
+        # long-form jobs also go through the collector thread: the pipeline
+        # object is not thread-safe (timings, language cache, lazy mesh), so
+        # ALL pipeline use is serialized on that one thread; the long job's
+        # own windows still batch internally via the VAD path
+        self._queue.put(
+            _Job(
+                audio, options, future, time.perf_counter(),
+                long=len(audio) > WINDOW_SAMPLES,
+            )
+        )
         return future
 
     def transcribe(self, audio, options=None, timeout: Optional[float] = None):
@@ -125,6 +137,14 @@ class BatchScheduler:
             job = self._queue.get()
             if job is None:
                 continue
+            if job.long:
+                try:
+                    job.future.set_result(
+                        self.pipeline.transcribe(job.audio, job.options)
+                    )
+                except Exception as e:
+                    job.future.set_exception(e)
+                continue
             group = [job]
             deadline = time.perf_counter() + self.max_wait_ms / 1000.0
             key = _options_key(job.options)
@@ -139,10 +159,10 @@ class BatchScheduler:
                     break
                 if nxt is None:
                     break
-                if _options_key(nxt.options) == key:
+                if not nxt.long and _options_key(nxt.options) == key:
                     group.append(nxt)
                 else:
-                    spill.append(nxt)  # different compiled shape: next round
+                    spill.append(nxt)  # different options/long job: next round
             for s in spill:
                 self._queue.put(s)
             try:

@@ -77,15 +77,20 @@ class AudioStreamTranscriber:
         self.state_callback = state_callback
         self.state = StreamState()
         self._buffer = np.zeros(0, np.float32)
+        # absolute seconds already trimmed off the front of the buffer —
+        # audio before the confirmed point can never change the output, so
+        # the buffer stays bounded on long sessions
+        self._dropped_seconds = 0.0
 
     # -- feeding ------------------------------------------------------------
 
     def feed(self, samples: np.ndarray) -> None:
         self._buffer = np.concatenate([self._buffer, np.asarray(samples, np.float32)])
-        self.state.buffer_seconds = len(self._buffer) / SAMPLE_RATE
+        self.state.buffer_seconds = self._dropped_seconds + len(self._buffer) / SAMPLE_RATE
 
     def reset(self) -> None:
         self._buffer = np.zeros(0, np.float32)
+        self._dropped_seconds = 0.0
         self.state = StreamState()
 
     # -- driving ------------------------------------------------------------
@@ -130,22 +135,44 @@ class AudioStreamTranscriber:
         if len(self._buffer) == 0:
             return False
         self.state.last_buffer_size = len(self._buffer)
-        clip_start = (
+        confirm_point = (
             self.state.last_agreed_seconds - self.eager_tolerance_seconds
             if self.eager
             else self.state.last_confirmed_segment_end_seconds
         )
-        clip_start = max(0.0, min(clip_start, len(self._buffer) / SAMPLE_RATE - 0.1))
-        options = dataclasses.replace(self.options, clip_timestamps=[clip_start])
+        # absolute → buffer-relative clip
+        clip_rel = confirm_point - self._dropped_seconds
+        clip_rel = max(0.0, min(clip_rel, len(self._buffer) / SAMPLE_RATE - 0.1))
+        options = dataclasses.replace(self.options, clip_timestamps=[clip_rel])
         result = self.pipeline.transcribe(self._buffer, options)
+        if self._dropped_seconds > 0:
+            from whisperkit_tpu.text.transcription_utils import update_segment_timings
+
+            result.segments = [
+                update_segment_timings(s, self._dropped_seconds)
+                for s in result.segments
+            ]
         self.state.current_text = result.text
         if self.eager:
             self._confirm_words(result)
         else:
             self._confirm_segments(result.segments)
+        self._trim_buffer(confirm_point)
         if self.state_callback is not None:
             self.state_callback(self.state)
         return True
+
+    def _trim_buffer(self, confirm_point: float) -> None:
+        """Drop samples that can no longer affect output (bounded memory)."""
+        keep_from = confirm_point - 2.0  # safety margin before the clip point
+        drop = int((keep_from - self._dropped_seconds) * SAMPLE_RATE)
+        if drop > SAMPLE_RATE:  # only trim in >=1 s steps
+            drop = min(drop, len(self._buffer))
+            self._buffer = self._buffer[drop:]
+            self._dropped_seconds += drop / SAMPLE_RATE
+            self.state.last_buffer_size = max(
+                0, self.state.last_buffer_size - drop
+            )
 
     # -- confirmation -------------------------------------------------------
 
@@ -166,8 +193,16 @@ class AudioStreamTranscriber:
     def _confirm_words(self, result) -> None:
         """Eager word-prefix confirmation (TranscribeCLI.swift:322-430):
         the longest common prefix of consecutive hypotheses is committed;
-        decoding restarts just before the last agreed word."""
-        current = [w for s in result.segments for w in (s.words or [])]
+        decoding restarts just before the last agreed word. Words at or
+        before last_agreed_seconds are already confirmed and must be
+        dropped first (re-decoding starts `tolerance` earlier, so the new
+        hypothesis re-includes them)."""
+        current = [
+            w
+            for s in result.segments
+            for w in (s.words or [])
+            if w.start >= self.state.last_agreed_seconds - 1e-6
+        ]
         prefix = find_longest_common_prefix(self.state.hypothesis_words, current)
         if prefix:
             self.state.confirmed_words.extend(prefix)

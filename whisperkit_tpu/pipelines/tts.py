@@ -305,12 +305,16 @@ class TTSPipeline:
         toks = self._prefix_tokens(options) + self.tokenizer.encode(text)
         return toks or [0]
 
-    def _embed(self, token_rows: list[list[int]]) -> jnp.ndarray:
+    def _embed(self, token_rows: list[list[int]]) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Left-pad heterogeneous rows; returns (embeds [B,P,D], pad counts
+        [B]) — pads are masked from attention by the generation loop."""
         max_len = max(len(r) for r in token_rows)
         padded = np.zeros((len(token_rows), max_len), np.int32)
+        pads = np.zeros(len(token_rows), np.int32)
         for i, r in enumerate(token_rows):
-            padded[i, max_len - len(r):] = r  # left-pad with token 0
-        return self.params["text_embed"][jnp.asarray(padded)]
+            padded[i, max_len - len(r):] = r
+            pads[i] = max_len - len(r)
+        return self.params["text_embed"][jnp.asarray(padded)], jnp.asarray(pads)
 
     # -- generation ---------------------------------------------------------
 
@@ -352,7 +356,7 @@ class TTSPipeline:
             token_rows = [self.tokenizer.encode(c) or [0] for c in chunks]
         else:
             token_rows = [self._prompt_tokens(c, options) for c in chunks]
-        prompt_embeds = self._embed(token_rows)
+        prompt_embeds, prompt_pad = self._embed(token_rows)
         timings.tokenize_seconds = time.perf_counter() - t0
         timings.chunks = len(chunks)
 
@@ -371,6 +375,7 @@ class TTSPipeline:
             top_k=options.top_k,
             cached_kv=cached_kv,
             cached_len=cached_len,
+            prompt_pad=prompt_pad,
         )
         codes = np.asarray(out.codes)
         n_frames = np.asarray(out.n_frames)
@@ -405,7 +410,7 @@ class TTSPipeline:
         prefix = self._prefix_tokens(options)
         if not prefix:
             return
-        embeds = self._embed([prefix])
+        embeds, _ = self._embed([prefix])
         kv = tts_prefill(
             self.params, embeds, dims=self.dims, max_seq=len(prefix),
         )

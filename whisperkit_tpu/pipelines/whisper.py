@@ -444,6 +444,7 @@ class WhisperPipeline:
         t0 = time.perf_counter()
         timings = TranscriptionTimings(pipeline_start=t0)
         self.timings = timings
+        self._detected_language = None  # per-call; never reuse across files
         if isinstance(audio, (str, Path)):
             audio = load_audio(audio)
             timings.audio_loading = time.perf_counter() - t0
@@ -477,7 +478,16 @@ class WhisperPipeline:
         unbounded batch would exceed HBM.
         """
         chunker = VADAudioChunker()
-        chunks = chunker.chunk_all(audio, max_chunk_length=WINDOW_SAMPLES)
+        # honor clip_timestamps: chunk each clip region independently,
+        # keeping absolute sample offsets (reference: prepareSeekClips)
+        content_frames = len(audio) // 160
+        clips = self._prepare_seek_clips(options, content_frames)
+        chunks = []
+        for clip_start_f, clip_end_f in clips:
+            region = audio[clip_start_f * 160 : clip_end_f * 160]
+            for c in chunker.chunk_all(region, max_chunk_length=WINDOW_SAMPLES):
+                c.seek_offset_index += clip_start_f * 160
+                chunks.append(c)
         mels = []
         metas = []
         for c in chunks:
@@ -511,9 +521,21 @@ class WhisperPipeline:
             self.timings.total_encoding_runs += n_real
             if language is None:
                 language = self._resolve_language(options, ck, cv)
-            decodes.extend(
-                self._decode_with_fallback(ck, cv, options, language, start)[:n_real]
-            )
+            batch_decodes = self._decode_with_fallback(
+                ck, cv, options, language, start
+            )[:n_real]
+            decodes.extend(batch_decodes)
+            if callback is not None:
+                progress = TranscriptionProgress(
+                    timings=self.timings,
+                    text=self.tokenizer.decode(batch_decodes[-1].tokens),
+                    tokens=batch_decodes[-1].tokens,
+                    temperature=batch_decodes[-1].temperature,
+                    window_id=start + n_real,
+                )
+                if callback(progress) is False:
+                    metas = metas[: len(decodes)]
+                    break
         self.timings.total_decoding_windows += len(decodes)
 
         all_segments: list[TranscriptionSegment] = []
