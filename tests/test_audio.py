@@ -148,3 +148,29 @@ def test_update_seek_offsets():
     assert out[0].segments[0].start == pytest.approx(31.0)
     assert out[0].segments[0].end == pytest.approx(32.0)
     assert out[0].segments[0].words[0].start == pytest.approx(31.0)
+
+
+def test_wav_extensible_float32(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE wrapping IEEE float32 must decode as float,
+    not be reinterpreted as int32 PCM."""
+    import struct
+
+    import numpy as np
+
+    from whisperkit_tpu.audio.io import _read_wav
+
+    rate = 16000
+    samples = (np.sin(np.linspace(0, 100, rate)) * 0.5).astype(np.float32)
+    raw = samples.tobytes()
+    # fmt chunk: extensible (0xFFFE), 1ch, 32-bit + 22-byte extension with
+    # IEEE-float subformat GUID (first two bytes 0x0003)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, rate, rate * 4, 4, 32) + struct.pack("<H", 22) + struct.pack("<HI", 32, 0x4) + struct.pack("<H", 3) + b"\x00" * 14
+    data = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw)) + b"WAVE"
+    data += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data += b"data" + struct.pack("<I", len(raw)) + raw
+    p = tmp_path / "ext_float.wav"
+    p.write_bytes(data)
+
+    af = _read_wav(p)
+    assert af.sample_rate == rate
+    np.testing.assert_allclose(af.samples[0], samples, atol=1e-6)

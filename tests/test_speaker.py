@@ -187,3 +187,26 @@ def test_diarize_pipeline_end_to_end():
     assert pipe.timings.chunk_count >= 2  # 45 s -> at least 2 strided chunks
     rttm = res.to_rttm()
     assert rttm == "" or rttm.startswith("SPEAKER")
+
+
+def test_kmeans_empty_cluster_repair():
+    """k larger than the natural cluster count must not yield NaN centroids
+    or phantom assignments."""
+    pts, _ = _blobs(k=2, per=15)
+    labels = kmeans(pts, 3, seed=9)
+    assert not np.isnan(pts[labels].sum())
+    assert labels.min() >= 0 and labels.max() <= 2
+    # every returned label id is non-empty
+    for j in np.unique(labels):
+        assert (labels == j).sum() >= 1
+
+
+def test_clusterer_fixed_k_exceeds_natural_clusters():
+    pts, _ = _blobs(k=2, per=15)
+    c = VBxClusterer()
+    for i, p in enumerate(pts):
+        # mark a few embeddings low-activity to exercise re-assignment
+        c.add(p, active_ratio=0.01 if i % 7 == 0 else 1.0)
+    labels = c.cluster(num_speakers=3)
+    assert len(labels) == len(pts)
+    assert not np.isnan(labels).any()

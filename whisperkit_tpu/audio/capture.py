@@ -62,7 +62,9 @@ class MicrophoneSource:
         info = sounddevice.query_devices(device, "input")
         self.capture_rate = capture_rate or int(info["default_samplerate"])
         self.chunk_frames = int(chunk_seconds * self.capture_rate)
-        self._queue: queue.Queue = queue.Queue()
+        # bounded: ~60 s of backlog; drop-oldest if the consumer stalls
+        # (same bounded-buffer policy as pipelines/streaming.py)
+        self._queue: queue.Queue = queue.Queue(maxsize=int(60 / chunk_seconds))
         self._stop = threading.Event()
         self._paused = threading.Event()
         self._stream = None
@@ -73,7 +75,17 @@ class MicrophoneSource:
         mono = np.asarray(indata, np.float32).mean(axis=1)
         if self.capture_rate != SAMPLE_RATE:
             mono = resample_audio(mono, self.capture_rate, SAMPLE_RATE)
-        self._queue.put(mono)
+        try:
+            self._queue.put_nowait(mono)
+        except queue.Full:  # consumer stalled: drop the oldest chunk
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                self._queue.put_nowait(mono)
+            except queue.Full:
+                pass
 
     def start(self) -> "MicrophoneSource":
         self._stream = self._sd.InputStream(

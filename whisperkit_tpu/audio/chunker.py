@@ -72,6 +72,8 @@ class VADAudioChunker:
         mid_frame = (silence[0] + silence[1]) // 2
         return half + self.vad.voice_activity_index_to_sample(mid_frame)
 
+    SAMPLES_PER_MEL_FRAME = 160
+
     @staticmethod
     def update_seek_offsets_for_results(
         chunked_results: Sequence[TranscriptionResult],
@@ -86,7 +88,8 @@ class VADAudioChunker:
         for result, offset_idx in zip(chunked_results, reference_seek_offset_indexes):
             offset_s = offset_idx / sample_rate
             for seg in result.segments:
-                seg.seek += offset_idx
+                # seg.seek is measured in mel frames (100/s), offset in samples
+                seg.seek += offset_idx // VADAudioChunker.SAMPLES_PER_MEL_FRAME
                 seg.start += offset_s
                 seg.end += offset_s
                 if seg.words:

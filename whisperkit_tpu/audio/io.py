@@ -131,14 +131,20 @@ def _read_wav(path: Path) -> AudioFile:
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_ext = body[18:] if len(body) > 18 else b""
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise LoadAudioFailed(f"missing fmt/data chunk: {path}")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(raw) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # treat as PCM; good enough for common files
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag is the
+        # first 2 bytes of the SubFormat GUID; fmt_ext starts after cbSize,
+        # so validBits(2) + channelMask(4) precede the GUID
+        if len(fmt_ext) >= 8:
+            (audio_format,) = struct.unpack_from("<H", fmt_ext, 6)
+        else:
+            audio_format = 1
     if audio_format == 1:  # PCM
         if bits == 16:
             x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

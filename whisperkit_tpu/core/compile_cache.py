@@ -29,6 +29,11 @@ def enable_compilation_cache(path: Optional[str] = None) -> str:
     cache_dir = path or DEFAULT_CACHE_DIR
     if _enabled:
         return cache_dir
+    if jax.default_backend() == "cpu":
+        # CPU AOT executables are machine-feature specific; cached entries
+        # from another machine (e.g. a remote-compile relay) can SIGILL on
+        # load — only the TPU backend gets the persistent cache
+        return cache_dir
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache even fast compiles: model-load latency matters more than disk

@@ -134,18 +134,44 @@ def _apply_hf_qwen3(params, tensors, dims: Qwen3TTSDims, dtype) -> tuple[int, in
         params["ln_f"] = jnp.asarray(ln_f, dtype)
         loaded += 1
 
-    # TTS-specific heads (converted-checkpoint names)
+    # TTS-specific heads + vocoder (converted-checkpoint names); tensors
+    # with neither matching nor transpose-matching shapes are skipped (and
+    # counted missing) rather than assigned blindly
+    def put_checked(container, key, name, want):
+        nonlocal loaded, missing
+        t = get(name)
+        if t is None:
+            missing += 1
+            return
+        tgt_dtype = container[key].dtype  # vocoder params stay f32
+        if t.shape == want:
+            container[key] = jnp.asarray(t, tgt_dtype)
+        elif t.ndim == 2 and t.shape[::-1] == want:
+            container[key] = jnp.asarray(t.T, tgt_dtype)
+        else:
+            logging.error(
+                f"{name}: shape {t.shape} does not fit {want}; left at init"
+            )
+            missing += 1
+            return
+        loaded += 1
+
     for key, name in [
         ("code_embed", "tts.code_embed.weight"),
         ("code0_head", "tts.code0_head.weight"),
         ("mc_embed", "tts.mc_embed.weight"),
+        ("mc_heads", "tts.mc_heads.weight"),
     ]:
-        t = get(name)
-        if t is not None:
-            want = params[key].shape
-            arr = t.T if t.shape[::-1] == want else t
-            params[key] = jnp.asarray(arr, dtype)
-            loaded += 1
-        else:
-            missing += 1
+        put_checked(params, key, name, params[key].shape)
+
+    for key, name in [("voc_in", "tts.voc_in"), ("voc_out", "tts.voc_out")]:
+        put_checked(params[key], "w", f"{name}.weight", params[key]["w"].shape)
+        put_checked(params[key], "b", f"{name}.bias", params[key]["b"].shape)
+    put_checked(
+        params, "voc_code_embed", "tts.voc_code_embed.weight",
+        params["voc_code_embed"].shape,
+    )
+    for i, bp in enumerate(params["voc_blocks"]):
+        put_checked(bp, "w", f"tts.voc_blocks.{i}.weight", bp["w"].shape)
+        put_checked(bp, "b", f"tts.voc_blocks.{i}.bias", bp["b"].shape)
     return loaded, missing

@@ -141,11 +141,21 @@ def create_app(pipeline, *, batching: bool = True, max_batch: int = 16):
             )
         response_format = fields.get("response_format", "json")
         stream = fields.get("stream", "false").lower() in ("1", "true", "yes")
-        options = _options(fields, granularities, task)
         loop = asyncio.get_running_loop()
         try:
+            try:
+                options = _options(fields, granularities, task)
+            except (ValueError, TypeError) as e:
+                return web.json_response(
+                    {"error": {"message": f"invalid request field: {e}"}},
+                    status=400,
+                )
             if stream:
-                return await _handle_streaming(request, audio_path, options)
+                # streaming owns the temp file (the worker thread may
+                # outlive this handler)
+                resp = await _handle_streaming(request, audio_path, options)
+                audio_path = None
+                return resp
             if scheduler is not None:
                 from whisperkit_tpu.audio.io import load_audio
 
@@ -163,10 +173,17 @@ def create_app(pipeline, *, batching: bool = True, max_batch: int = 16):
             logging.error(f"transcription failed: {e}")
             return web.json_response({"error": {"message": str(e)}}, status=500)
         finally:
-            audio_path.unlink(missing_ok=True)
+            if audio_path is not None:
+                audio_path.unlink(missing_ok=True)
 
     async def _handle_streaming(request, audio_path, options):
-        """SSE: one transcript.text.delta per discovered window, then done."""
+        """SSE: one transcript.text.delta per discovered window, then done.
+
+        Owns (and deletes) `audio_path`. A client disconnect sets a cancel
+        flag that the per-window progress callback turns into an early stop
+        (returning False), so the worker thread winds down instead of
+        transcribing an abandoned request to completion.
+        """
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",
@@ -177,8 +194,11 @@ def create_app(pipeline, *, batching: bool = True, max_batch: int = 16):
         await resp.prepare(request)
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
+        cancelled = threading.Event()
 
         def progress_callback(progress):
+            if cancelled.is_set():
+                return False  # early-stop the seek loop
             loop.call_soon_threadsafe(queue.put_nowait, ("delta", progress.text))
             return None
 
@@ -188,24 +208,29 @@ def create_app(pipeline, *, batching: bool = True, max_batch: int = 16):
                 loop.call_soon_threadsafe(queue.put_nowait, ("done", result))
             except Exception as e:
                 loop.call_soon_threadsafe(queue.put_nowait, ("error", e))
+            finally:
+                audio_path.unlink(missing_ok=True)
 
         thread = threading.Thread(target=run, daemon=True)
         thread.start()
-        while True:
-            kind, value = await queue.get()
-            if kind == "delta":
-                event = {"type": "transcript.text.delta", "delta": value}
-                await resp.write(f"data: {json.dumps(event)}\n\n".encode())
-            elif kind == "error":
-                event = {"type": "error", "error": {"message": str(value)}}
-                await resp.write(f"data: {json.dumps(event)}\n\n".encode())
-                break
-            else:
-                event = {"type": "transcript.text.done", "text": value.text}
-                await resp.write(f"data: {json.dumps(event)}\n\n".encode())
-                await resp.write(b"data: [DONE]\n\n")
-                break
-        await resp.write_eof()
+        try:
+            while True:
+                kind, value = await queue.get()
+                if kind == "delta":
+                    event = {"type": "transcript.text.delta", "delta": value}
+                    await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+                elif kind == "error":
+                    event = {"type": "error", "error": {"message": str(value)}}
+                    await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+                    break
+                else:
+                    event = {"type": "transcript.text.done", "text": value.text}
+                    await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+                    await resp.write(b"data: [DONE]\n\n")
+                    break
+            await resp.write_eof()
+        except (ConnectionResetError, asyncio.CancelledError):
+            cancelled.set()
         return resp
 
     async def transcriptions(request):

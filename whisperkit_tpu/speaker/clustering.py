@@ -142,6 +142,12 @@ def kmeans(
             members = embeddings[labels == j]
             if len(members):
                 centroids[j] = members.mean(0)
+            else:
+                # empty cluster: reseed on the point farthest from its
+                # current centroid (classic Lloyd empty-cluster repair)
+                worst = int(np.argmax(d[np.arange(n), labels]))
+                centroids[j] = embeddings[worst]
+                labels[worst] = j
     return labels
 
 
@@ -286,7 +292,11 @@ class VBxClusterer:
             )
             core_labels = vbx_refine(core, init, self.config)
 
-        n_clusters = int(core_labels.max()) + 1 if len(core_labels) else 0
+        # densify labels first: empty intermediate label ids would yield
+        # NaN centroids that argmin then selects for every re-assignment
+        uniq, core_labels = np.unique(core_labels, return_inverse=True)
+        core_labels = core_labels.astype(np.int32)
+        n_clusters = len(uniq)
         centroids = np.stack(
             [core[core_labels == j].mean(0) for j in range(n_clusters)]
         )
