@@ -103,6 +103,8 @@ class ComputeOptions:
     param_dtype: str = "bfloat16"
     activation_dtype: str = "bfloat16"
     logits_dtype: str = "float32"
+    quantization: Optional[str] = None  # "w8a16" = int8 linear weights
+    # (the reference's quantized model variants, fastlane/Fastfile:26-55)
     mesh_axes: tuple[str, ...] = ("dp", "tp")
     dp_size: Optional[int] = None  # None = infer from devices
     tp_size: int = 1

@@ -190,7 +190,12 @@ def layer_norm(x, p, eps=1e-5):
 
 
 def dense(x, p):
-    y = jnp.dot(x, p["w"], precision=_prec(x, p["w"]))
+    if "w_q" in p:  # W8A16: int8 weight + per-channel scale (ops/quant.py);
+        # the dequant multiply fuses into the matmul's operand read
+        w = p["w_q"].astype(x.dtype) * p["scale"].astype(x.dtype)[None, :]
+        y = jnp.dot(x, w)
+    else:
+        y = jnp.dot(x, p["w"], precision=_prec(x, p["w"]))
     if "b" in p:
         y = y + p["b"]
     return y

@@ -1,0 +1,85 @@
+"""Weight-only int8 quantization (W8A16).
+
+Reference: the reference's model matrix ships quantized Whisper variants
+(626 MB / 594 MB / 947 MB / 954 MB, fastlane/Fastfile:26-55) and Qwen3-TTS
+W8A16 CoreML components (Qwen3Config.swift:106-112 `Qwen3VariantDefaults`).
+TPU equivalent: per-output-channel symmetric int8 weights with bf16 scales,
+dequantized inside the matmul's producer fusion — halves the HBM bytes the
+bandwidth-bound decode loop reads per token.
+
+A quantized linear is the dict {"w_q": int8 [in, out], "scale": bf16 [out],
+"b": ...}; `dense()` in models/whisper.py dispatches on the presence of
+"w_q".
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+
+def quantize_weight(w: jnp.ndarray) -> dict:
+    """[in, out] float → {"w_q" int8, "scale" [out]} (symmetric, per-column)."""
+    w32 = w.astype(jnp.float32)
+    max_abs = jnp.max(jnp.abs(w32), axis=0)  # per output channel
+    scale = jnp.maximum(max_abs / 127.0, 1e-8)
+    w_q = jnp.clip(jnp.round(w32 / scale[None, :]), -127, 127).astype(jnp.int8)
+    return {"w_q": w_q, "scale": scale.astype(jnp.bfloat16)}
+
+
+def dequantize_weight(q: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (
+        q["w_q"].astype(jnp.float32) * q["scale"].astype(jnp.float32)[None, :]
+    ).astype(dtype)
+
+
+def quantized_matmul(x: jnp.ndarray, q: dict) -> jnp.ndarray:
+    """x [..., in] @ dequant(w) — XLA fuses the dequant into the matmul's
+    operand read, so only int8 bytes cross HBM."""
+    w = q["w_q"].astype(x.dtype) * q["scale"].astype(x.dtype)[None, :]
+    return jnp.dot(x, w)
+
+
+# param-dict keys that hold LINEAR weights ([in, out] or stacked
+# [L, in, out]); convs (also rank-3, but OIH layout) are excluded by name
+_LINEAR_KEYS = {"q", "k", "v", "out", "fc1", "fc2"}
+
+
+def quantize_whisper_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
+    """Quantize every linear weight ≥ min_size elements in a Whisper param
+    tree (token/positional embeddings, norms, convs, biases stay bf16 —
+    matching the reference's W8A16 recipe)."""
+
+    def quantize_linear(node: dict) -> dict:
+        w = node["w"]
+        out = {k: v for k, v in node.items() if k != "w"}
+        if w.ndim == 2:
+            out.update(quantize_weight(w))
+        else:  # stacked [L, in, out]
+            qs = [quantize_weight(w[i]) for i in range(w.shape[0])]
+            out["w_q"] = jnp.stack([q["w_q"] for q in qs])
+            out["scale"] = jnp.stack([q["scale"] for q in qs])
+        return out
+
+    def walk(node, key=None):
+        if isinstance(node, dict):
+            if (
+                key in _LINEAR_KEYS
+                and "w" in node
+                and hasattr(node["w"], "ndim")
+                and node["w"].size >= min_size
+            ):
+                return quantize_linear(node)
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
+def quantized_size_bytes(params: PyTree) -> int:
+    leaves = jax.tree.leaves(params)
+    return sum(x.size * x.dtype.itemsize for x in leaves if hasattr(x, "size"))

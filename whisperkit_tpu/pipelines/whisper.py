@@ -135,6 +135,10 @@ class WhisperPipeline:
             download=self.config.download,
         )
         self.dims, self.params, heads = load_whisper(folder)
+        if self.config.compute_options.quantization == "w8a16":
+            from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+            self.params = quantize_whisper_params(self.params)
         if self.alignment_heads is None:
             self.alignment_heads = heads
         try:
