@@ -108,3 +108,18 @@ def test_transcription_result_all_words():
     res = TranscriptionResult(segments=[seg, TranscriptionSegment()])
     assert len(res.all_words) == 1
     assert res.all_words[0].duration == pytest.approx(0.5)
+
+
+def test_timings_log_report(capsys=None):
+    from whisperkit_tpu.core.timings import TranscriptionTimings
+
+    t = TranscriptionTimings(
+        full_pipeline=2.0, decoding_loop=1.5, encoding=0.3,
+        total_decoding_loops=50, input_audio_seconds=30.0,
+        pipeline_start=100.0, first_token_time=100.4,
+    )
+    assert t.tokens_per_second == pytest.approx(25.0)
+    assert t.real_time_factor == pytest.approx(2.0 / 30.0)
+    assert t.speed_factor == pytest.approx(15.0)
+    assert t.time_to_first_token == pytest.approx(0.4)
+    t.log()  # formatted report must not raise

@@ -91,3 +91,50 @@ def test_fake_tokenizer_round_trip():
     assert sp.timestamp_begin < 207
     s = tok.decode_with_timestamps([sp.timestamp_begin, 1])
     assert s.startswith("<|0.00|>")
+
+
+def _unicode_bpe():
+    """Byte-level vocab covering all bytes (so any UTF-8 text round-trips)."""
+    b2u = bytes_to_unicode()
+    vocab = {ch: i for i, ch in enumerate(b2u.values())}
+    return BPETokenizer(vocab, [])
+
+
+def test_bpe_unicode_round_trip():
+    bpe = _unicode_bpe()
+    for text in ("héllo wörld", "こんにちは世界", "¿dónde está?"):
+        assert bpe.decode(bpe.encode(text)) == text
+
+
+def test_split_to_word_tokens_spaces():
+    """Latin-script splitting groups subwords by leading spaces
+    (reference: UnitTests word-token splitting EN/ES, :1326-1375)."""
+    bpe = _unicode_bpe()
+    tok = WhisperTokenizer(bpe, 51865)
+    ids = bpe.encode(" hola mundo feliz")
+    words, word_tokens = tok.split_to_word_tokens(ids, language="es")
+    assert words == [" hola", " mundo", " feliz"]
+    assert sum(len(t) for t in word_tokens) == len(ids)
+
+
+def test_split_to_word_tokens_unicode_ja():
+    """Space-less scripts split at unicode boundaries (reference: JA case)."""
+    bpe = _unicode_bpe()
+    tok = WhisperTokenizer(bpe, 51865)
+    ids = bpe.encode("日本語です")
+    words, word_tokens = tok.split_to_word_tokens(ids, language="ja")
+    assert "".join(words) == "日本語です"
+    assert len(words) >= 2  # split into per-character-ish units
+    assert sum(len(t) for t in word_tokens) == len(ids)
+
+
+def test_decode_with_timestamps_renders_specials():
+    bpe = _unicode_bpe()
+    tok = WhisperTokenizer(bpe, 51865)
+    sp = tok.special
+    ids = [sp.sot, sp.language_token("en"), sp.transcribe, sp.timestamp_begin]
+    ids += bpe.encode(" hi")
+    ids += [sp.timestamp_begin + 50, sp.eot]
+    s = tok.decode_with_timestamps(ids)
+    assert s == "<|startoftranscript|><|en|><|transcribe|><|0.00|> hi<|1.00|><|endoftext|>"
+    assert tok.decode(ids) == " hi"

@@ -128,10 +128,16 @@ def bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
-_GPT2_SPLIT = re.compile(
-    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
-    .replace(r"\p{L}", r"[^\W\d_]").replace(r"\p{N}", r"\d")
-)
+try:  # `regex` supports \p{L}/\p{N} (the exact GPT-2 pattern)
+    import regex as _rx
+
+    _GPT2_SPLIT = _rx.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+    )
+except ImportError:  # stdlib approximation (letters ≈ [^\W\d_])
+    _GPT2_SPLIT = re.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"""
+    )
 
 
 def _get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
