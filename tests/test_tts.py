@@ -207,3 +207,17 @@ def test_left_pad_does_not_change_output(params):
     np.testing.assert_array_equal(
         np.asarray(alone.codes)[0], np.asarray(both.codes)[0]
     )
+
+
+def test_stream_blocks_matches_batch_generation():
+    """Segmented streaming with left-context vocoding must match the
+    single-shot generate() waveform (same seed, temperature 0)."""
+    pipe = TTSPipeline()
+    opts = GenerationOptions(max_new_tokens=9, temperature=0.0, seed=6,
+                             chunking_strategy="none", use_prompt_cache=False)
+    full = pipe.generate("stream equivalence", opts)
+    blocks = list(pipe.stream_blocks("stream equivalence", opts, block_frames=3))
+    streamed = np.concatenate(blocks) if blocks else np.zeros(0, np.float32)
+    n = min(len(streamed), len(full.audio))
+    assert n > 0
+    np.testing.assert_allclose(streamed[:n], full.audio[:n], atol=2e-2)

@@ -53,26 +53,42 @@ def apply_repetition_penalty(logits, counts, penalty):
     return jnp.where(seen, penalized, logits)
 
 
+class TTSGenState(NamedTuple):
+    """Resumable generation state: everything a segment needs to continue.
+
+    Enables TRUE streaming synthesis (the reference's `.stream` playback
+    strategy): generate N frames → vocode+play the block → resume — TTFB is
+    one prefill + one short segment instead of the full utterance.
+    """
+
+    step: jnp.ndarray  # scalar: frames generated so far
+    bos_slot: jnp.ndarray  # scalar: cache slot of the codec BOS token
+    kv: tuple
+    logits: jnp.ndarray  # [B, 1, V] last decoder logits
+    hidden: jnp.ndarray  # [B, 1, D] last decoder hidden
+    counts: jnp.ndarray  # [B, CODEC_VOCAB] repetition-penalty history
+    done: jnp.ndarray  # [B]
+    key: jnp.ndarray
+    prompt_pad: jnp.ndarray  # [B]
+    key_invalid: jnp.ndarray  # [B, S]
+
+
 @functools.partial(
-    jax.jit,
-    static_argnames=("dims", "max_new_tokens", "top_k", "max_seq", "cached_len"),
+    jax.jit, static_argnames=("dims", "max_seq", "cached_len")
 )
-def tts_generate_loop(
+def tts_prefill_state(
     params,
-    prompt_embeds: jnp.ndarray,  # [B, P, D] text-projector output
-    scalars: TTSScalars,
+    prompt_embeds: jnp.ndarray,  # [B, P, D]
+    rng_key,
     *,
     dims: Qwen3TTSDims,
-    max_new_tokens: int,
-    top_k: int = 50,
-    max_seq: int = 0,
+    max_seq: int,
     cached_kv=None,  # (k, v) prefix snapshot from tts_prefill, batch 1
     cached_len: int = 0,
     prompt_pad=None,  # [B] left-pad counts within prompt_embeds
-) -> TTSLoopOutput:
+) -> TTSGenState:
+    """Prefill prompt (+restore cached prefix) and feed codec BOS."""
     b, p, d = prompt_embeds.shape
-    total = cached_len + p + max_new_tokens + 1
-    max_seq = max_seq or total
     kv_k, kv_v = init_code_kv_cache(dims, b, max_seq)
     if prompt_pad is None:
         prompt_pad = jnp.zeros((b,), jnp.int32)
@@ -86,10 +102,12 @@ def tts_generate_loop(
         # Qwen3GenerateTask.swift:233-317 "restore KV snapshot"); broadcast
         # the batch-1 snapshot to all rows
         ck = jnp.broadcast_to(
-            cached_kv[0][:, :1, :, :cached_len], (dims.n_layer, b, dims.n_kv_head, cached_len, dims.head_dim)
+            cached_kv[0][:, :1, :, :cached_len],
+            (dims.n_layer, b, dims.n_kv_head, cached_len, dims.head_dim),
         ).astype(kv_k.dtype)
         cv = jnp.broadcast_to(
-            cached_kv[1][:, :1, :, :cached_len], (dims.n_layer, b, dims.n_kv_head, cached_len, dims.head_dim)
+            cached_kv[1][:, :1, :, :cached_len],
+            (dims.n_layer, b, dims.n_kv_head, cached_len, dims.head_dim),
         ).astype(kv_v.dtype)
         kv_k = jax.lax.dynamic_update_slice(kv_k, ck, (0, 0, 0, 0, 0))
         kv_v = jax.lax.dynamic_update_slice(kv_v, cv, (0, 0, 0, 0, 0))
@@ -101,29 +119,55 @@ def tts_generate_loop(
         params, prompt_embeds.astype(kv_k.dtype), cached_len, kv_k, kv_v, dims,
         rope_offset=cached_len - prompt_pad, key_invalid=key_invalid,
     )
-    p = cached_len + p  # cache slot of BOS
+    bos_slot = cached_len + p
     bos_embed = params["code_embed"][jnp.full((b, 1), CODEC_BOS)]
     logits, hidden, (kv_k, kv_v) = code_decoder_forward(
-        params, bos_embed.astype(kv_k.dtype), p, kv_k, kv_v, dims,
-        rope_offset=p - prompt_pad, key_invalid=key_invalid,
+        params, bos_embed.astype(kv_k.dtype), bos_slot, kv_k, kv_v, dims,
+        rope_offset=bos_slot - prompt_pad, key_invalid=key_invalid,
+    )
+    return TTSGenState(
+        step=jnp.asarray(0, jnp.int32),
+        bos_slot=jnp.asarray(bos_slot, jnp.int32),
+        kv=(kv_k, kv_v),
+        logits=logits,
+        hidden=hidden,
+        counts=jnp.zeros((b, CODEC_VOCAB), jnp.int32),
+        done=jnp.zeros((b,), bool),
+        key=rng_key,
+        prompt_pad=prompt_pad,
+        key_invalid=key_invalid,
     )
 
-    codes = jnp.full((b, max_new_tokens, 16), CODEC_EOS, jnp.int32)
-    counts = jnp.zeros((b, CODEC_VOCAB), jnp.int32)
 
-    def cond(state):
-        step, done = state[0], state[5]
-        return (step < max_new_tokens) & ~jnp.all(done)
+@functools.partial(jax.jit, static_argnames=("dims", "n_frames", "top_k"))
+def tts_generate_segment(
+    params,
+    state: TTSGenState,
+    scalars: TTSScalars,
+    *,
+    dims: Qwen3TTSDims,
+    n_frames: int,
+    top_k: int = 50,
+) -> tuple[jnp.ndarray, TTSGenState]:
+    """Generate up to n_frames more frames; resumable via the new state."""
+    b = state.counts.shape[0]
+    codes = jnp.full((b, n_frames, 16), CODEC_EOS, jnp.int32)
+    bos_slot = state.bos_slot
+    prompt_pad = state.prompt_pad
+    key_invalid = state.key_invalid
 
-    def body(state):
-        step, codes, counts, (kv_k, kv_v), (logits, hidden), done, key = state
+    def cond(carry):
+        i, _, st = carry
+        return (i < n_frames) & ~jnp.all(st.done)
 
-        lg = logits[:, -1]  # [B, V]
-        lg = apply_repetition_penalty(lg, counts, scalars.repetition_penalty)
-        # suppress BOS (never re-emitted)
-        lg = lg.at[:, CODEC_BOS].set(-jnp.inf)
+    def body(carry):
+        i, codes, st = carry
+        kv_k, kv_v = st.kv
+        lg = st.logits[:, -1]  # [B, V]
+        lg = apply_repetition_penalty(lg, st.counts, scalars.repetition_penalty)
+        lg = lg.at[:, CODEC_BOS].set(-jnp.inf)  # BOS never re-emitted
 
-        key, k0, kmc = jax.random.split(key, 3)
+        key, k0, kmc = jax.random.split(st.key, 3)
         top_vals, top_idx = jax.lax.top_k(lg, top_k)
         choice = jax.random.categorical(
             k0, top_vals / jnp.maximum(scalars.temperature, 1e-4)
@@ -131,46 +175,70 @@ def tts_generate_loop(
         sampled = jnp.take_along_axis(top_idx, choice[:, None], 1)[:, 0]
         greedy = jnp.argmax(lg, -1)
         code0 = jnp.where(scalars.temperature > 0, sampled, greedy).astype(jnp.int32)
-        code0 = jnp.where(done, CODEC_EOS, code0)
-        done = done | (code0 == CODEC_EOS)
-
-        counts = counts.at[jnp.arange(b), code0].add(1)
+        code0 = jnp.where(st.done, CODEC_EOS, code0)
+        done = st.done | (code0 == CODEC_EOS)
+        counts = st.counts.at[jnp.arange(b), code0].add(1)
 
         # 15 RVQ heads from the frame hidden state
         mc = multicode_forward(
-            params, hidden[:, -1], kmc, scalars.temperature, top_k=5
+            params, st.hidden[:, -1], kmc, scalars.temperature, top_k=5
         )  # [B, 15]
         frame = jnp.concatenate([code0[:, None], mc], axis=1)  # [B, 16]
         frame = jnp.where(done[:, None], CODEC_EOS, frame)
-        codes = jax.lax.dynamic_update_slice(codes, frame[:, None, :], (0, step, 0))
+        codes = jax.lax.dynamic_update_slice(codes, frame[:, None, :], (0, i, 0))
 
         # next decoder input: code0 embedding + mean multicode embedding
-        c0e = params["code_embed"][code0]
         from whisperkit_tpu.models.qwen3_tts import HEAD_VOCAB
 
+        c0e = params["code_embed"][code0]
         mce = params["mc_embed"][
             (jnp.arange(15)[None, :] * HEAD_VOCAB + mc).reshape(-1)
         ].reshape(b, 15, -1).mean(1)
         nxt = (c0e + mce)[:, None].astype(kv_k.dtype)
+        slot = bos_slot + 1 + st.step
         logits, hidden, (kv_k, kv_v) = code_decoder_forward(
-            params, nxt, p + 1 + step, kv_k, kv_v, dims,
-            rope_offset=p + 1 + step - prompt_pad, key_invalid=key_invalid,
+            params, nxt, slot, kv_k, kv_v, dims,
+            rope_offset=slot - prompt_pad, key_invalid=key_invalid,
         )
-        return (step + 1, codes, counts, (kv_k, kv_v), (logits, hidden), done, key)
+        new_state = st._replace(
+            step=st.step + 1, kv=(kv_k, kv_v), logits=logits, hidden=hidden,
+            counts=counts, done=done, key=key,
+        )
+        return (i + 1, codes, new_state)
 
-    state = (
-        jnp.asarray(0, jnp.int32),
-        codes,
-        counts,
-        (kv_k, kv_v),
-        (logits, hidden),
-        jnp.zeros((b,), bool),
-        scalars.rng_key,
+    _, codes, state = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), codes, state))
+    return codes, state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "max_new_tokens", "top_k", "max_seq", "cached_len"),
+)
+def tts_generate_loop(
+    params,
+    prompt_embeds: jnp.ndarray,  # [B, P, D] text-projector output
+    scalars: TTSScalars,
+    *,
+    dims: Qwen3TTSDims,
+    max_new_tokens: int,
+    top_k: int = 50,
+    max_seq: int = 0,
+    cached_kv=None,
+    cached_len: int = 0,
+    prompt_pad=None,  # [B] left-pad counts within prompt_embeds
+) -> TTSLoopOutput:
+    b, p, d = prompt_embeds.shape
+    total = cached_len + p + max_new_tokens + 1
+    max_seq = max_seq or total
+    state = tts_prefill_state(
+        params, prompt_embeds, scalars.rng_key, dims=dims, max_seq=max_seq,
+        cached_kv=cached_kv, cached_len=cached_len, prompt_pad=prompt_pad,
     )
-    step, codes, _, kv, _, done, _ = jax.lax.while_loop(cond, body, state)
-
+    codes, state = tts_generate_segment(
+        params, state, scalars, dims=dims, n_frames=max_new_tokens, top_k=top_k
+    )
     n_frames = (codes[:, :, 0] != CODEC_EOS).sum(axis=1)
-    return TTSLoopOutput(codes=codes, n_frames=n_frames, kv=kv, length=step)
+    return TTSLoopOutput(codes=codes, n_frames=n_frames, kv=state.kv, length=state.step)
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "max_seq"))

@@ -438,21 +438,69 @@ class TTSPipeline:
         _play(result.audio, result.sample_rate)
         return result
 
+    # receptive field of the dilated-conv vocoder, in frames; streamed
+    # blocks are vocoded with this much left context so block boundaries
+    # are sample-exact vs whole-utterance decoding
+    _VOCODER_CONTEXT_FRAMES = 64
+
     def stream_blocks(
         self,
         text: str,
         options: Optional[GenerationOptions] = None,
         block_frames: int = 25,  # 2 s blocks at 12.5 Hz
     ) -> Iterator[np.ndarray]:
-        """Block-streaming synthesis: yields waveform blocks as the vocoder
-        decodes them (the reference's `.stream` strategy; TTFB is one AR
-        pass + one block vocode)."""
+        """TRUE block-streaming synthesis: the AR loop runs in resumable
+        segments (decoding/tts_loop.tts_generate_segment) and each block is
+        vocoded+yielded as soon as its codes exist — time-to-first-buffer is
+        one prefill + one short segment, not the whole utterance
+        (reference: `.stream` PlaybackStrategy, TTSKit.swift:994-1063).
+
+        Streams the text as ONE chunk (batch 1)."""
+        from whisperkit_tpu.decoding.tts_loop import (
+            tts_generate_segment,
+            tts_prefill_state,
+        )
+        from whisperkit_tpu.models.qwen3_tts import CODEC_EOS
+
         options = options or GenerationOptions()
-        result = self.generate(text, options)
-        audio = result.audio
-        step = block_frames * SAMPLES_PER_FRAME
-        for i in range(0, len(audio), step):
-            yield audio[i : i + step]
+        tokens = self._prompt_tokens(text, options)
+        embeds, pad = self._embed([tokens])
+        # +block_frames headroom: the final segment may overrun max_new
+        # before its done-mask settles
+        max_seq = len(tokens) + options.max_new_tokens + 1 + block_frames
+        state = tts_prefill_state(
+            self.params, embeds, jax.random.PRNGKey(options.seed),
+            dims=self.dims, max_seq=max_seq, prompt_pad=pad,
+        )
+        scalars = TTSScalars(
+            temperature=jnp.float32(options.temperature),
+            repetition_penalty=jnp.float32(options.repetition_penalty),
+            rng_key=jax.random.PRNGKey(options.seed),
+        )
+        ctx = np.zeros((1, 0, 16), np.int32)
+        produced = 0
+        while produced < options.max_new_tokens:
+            n = min(block_frames, options.max_new_tokens - produced)
+            codes, state = tts_generate_segment(
+                self.params, state, scalars, dims=self.dims,
+                n_frames=block_frames, top_k=options.top_k,
+            )
+            codes_np = np.asarray(codes)[:, :n]
+            valid = int((codes_np[0, :, 0] != CODEC_EOS).sum())
+            if valid == 0:
+                break
+            block = codes_np[:, :valid]
+            with_ctx = np.concatenate([ctx, block], axis=1)
+            wave = np.asarray(
+                speech_decoder_forward(
+                    self.params, jnp.asarray(with_ctx), self.dims
+                )
+            )
+            yield wave[0, ctx.shape[1] * SAMPLES_PER_FRAME :]
+            ctx = with_ctx[:, -self._VOCODER_CONTEXT_FRAMES :]
+            produced += valid
+            if bool(np.asarray(state.done).all()) or valid < n:
+                break
 
 
 # Variant presets (reference: Qwen3Config.swift:25-83 — 0.6b all-platform,

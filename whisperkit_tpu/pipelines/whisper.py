@@ -128,8 +128,16 @@ class WhisperPipeline:
 
         t0 = time.perf_counter()
         self.model_state = ModelState.LOADING
+        model = self.config.model
+        if model is None and self.config.model_folder is None:
+            # pick the platform's recommended variant (reference:
+            # recommendedRemoteModels, WhisperKit.swift:162-217)
+            from whisperkit_tpu.core.model_support import recommended_model
+
+            model = recommended_model()
+            logging.info(f"no model specified; using recommended '{model}'")
         folder = resolve_model_folder(
-            model=self.config.model,
+            model=model,
             model_repo=self.config.model_repo,
             model_folder=self.config.model_folder,
             download=self.config.download,
