@@ -195,3 +195,31 @@ def test_cli_transcribe_end_to_end(tmp_path, pipe, monkeypatch, capsys):
     assert (tmp_path / "clip.srt").exists()
     data = json.loads((tmp_path / "clip.json").read_text())
     assert "segments" in data
+
+
+def test_cli_diarization_combo(tmp_path, pipe, monkeypatch, capsys):
+    """--diarization merges speaker labels into the transcript output."""
+    from whisperkit_tpu.cli import main as cli_main
+    from whisperkit_tpu.speaker.results import DiarizationResult, SpeakerSegment
+
+    rng = np.random.default_rng(2)
+    wavp = tmp_path / "d.wav"
+    _write_wav(wavp, rng.standard_normal(16000 * 3) * 0.1)
+    monkeypatch.setattr(cli_main, "_build_pipeline", lambda args: pipe)
+
+    class FakeDia:
+        def diarize(self, path):
+            return DiarizationResult(
+                segments=[SpeakerSegment(0, 0.0, 30.0)], num_speakers=1
+            )
+
+    import whisperkit_tpu.pipelines.diarize as dz
+
+    monkeypatch.setattr(dz, "DiarizePipeline", lambda *a, **k: FakeDia())
+    rc = cli_main.main(
+        ["transcribe", "--audio-path", str(wavp), "--language", "en",
+         "--sample-length", "6", "--diarization"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "SPEAKER_00" in out
