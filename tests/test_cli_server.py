@@ -213,9 +213,13 @@ def test_cli_diarization_combo(tmp_path, pipe, monkeypatch, capsys):
                 segments=[SpeakerSegment(0, 0.0, 30.0)], num_speakers=1
             )
 
+        @classmethod
+        def from_pretrained(cls, model_folder=None, **kw):
+            return cls()
+
     import whisperkit_tpu.pipelines.diarize as dz
 
-    monkeypatch.setattr(dz, "DiarizePipeline", lambda *a, **k: FakeDia())
+    monkeypatch.setattr(dz, "DiarizePipeline", FakeDia)
     rc = cli_main.main(
         ["transcribe", "--audio-path", str(wavp), "--language", "en",
          "--sample-length", "6", "--diarization"]

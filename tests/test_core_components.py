@@ -204,3 +204,60 @@ def test_tp_sharding_tree_matches_params():
     sharded = shard_whisper_params(plan, params)
     w = sharded["encoder"]["blocks"]["fc1"]["w"]
     assert "tp" in str(w.sharding.spec)  # column-split landed
+
+
+def test_coalescing_loader_recovers_after_error():
+    """A failed load must not poison later rounds or mask errors from
+    waiters of the failing round."""
+    attempts = []
+
+    def load():
+        attempts.append(1)
+        if len(attempts) == 1:
+            raise RuntimeError("first load fails")
+        return "ok"
+
+    from whisperkit_tpu.core.concurrency import CoalescingLoader
+
+    loader = CoalescingLoader(load)
+    with pytest.raises(RuntimeError):
+        loader.ensure_loaded()
+    assert loader.ensure_loaded() == "ok"  # second round succeeds
+
+
+def test_model_manager_prewarm_failure_recovers():
+    from whisperkit_tpu.core.model_manager import ModelManager
+    from whisperkit_tpu.core.modelstate import ModelState
+
+    def bad_prewarm(m):
+        raise RuntimeError("compile exploded")
+
+    mgr = ModelManager(load_fn=lambda: "M", prewarm_fn=bad_prewarm)
+    assert mgr.ensure_loaded(prewarm=True) == "M"
+    assert mgr.state == ModelState.LOADED  # not wedged in PREWARMING
+
+
+def test_tp_sharding_wired_into_pipeline():
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    import dataclasses
+
+    from whisperkit_tpu.core.configurations import ComputeOptions, DecodingOptions
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    pipe = WhisperPipeline(
+        dims=dims, params=init_params(jax.random.PRNGKey(0), dims),
+        compute_options=ComputeOptions(tp_size=2),
+    )
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 35) * 0.1).astype(np.float32)
+    res = pipe.transcribe(
+        audio, DecodingOptions(sample_length=6, language="en", chunking_strategy="vad")
+    )
+    assert res.segments
+    # attention/MLP weights actually column/row-split over tp
+    w = pipe.params["encoder"]["blocks"]["fc1"]["w"]
+    assert "tp" in str(w.sharding.spec)

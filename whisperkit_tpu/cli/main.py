@@ -166,6 +166,9 @@ def cmd_transcribe(args) -> int:
                 if p.suffix.lower() in {".wav", ".flac", ".mp3", ".m4a", ".ogg"}
             )
         )
+    if args.stream:  # live mic needs no file inputs
+        pipe = _build_pipeline(args)
+        return _stream_live(pipe, _decode_options(args, pipe.tokenizer))
     if not paths:
         print("no audio inputs (use --audio-path / --audio-folder)", file=sys.stderr)
         return 2
@@ -173,21 +176,20 @@ def cmd_transcribe(args) -> int:
     pipe = _build_pipeline(args)
     options = _decode_options(args, pipe.tokenizer)
 
-    if args.stream:
-        return _stream_live(pipe, options)
     if args.stream_simulated:
         return _stream_simulated(pipe, paths[0], options)
 
     rc = 0
     for path in paths:
         t0 = time.perf_counter()
-        result = pipe.transcribe(path, options)
-        if isinstance(result, Exception):
-            print(f"{path}: ERROR {result}", file=sys.stderr)
+        try:
+            result = pipe.transcribe(path, options)
+        except Exception as e:  # one bad file must not abort the batch
+            print(f"{path}: ERROR {e}", file=sys.stderr)
             rc = 1
             continue
         if args.diarization:
-            result = _run_diarization(path, result)
+            result = _run_diarization(path, result, args)
         for line in format_segments(result.segments):
             print(line)
         dt = time.perf_counter() - t0
@@ -203,13 +205,14 @@ def cmd_transcribe(args) -> int:
     return rc
 
 
-def _run_diarization(path: Path, result):
+def _run_diarization(path: Path, result, args=None):
     """Combined transcribe+diarize (reference: TranscribeCLI.runDiarization,
     TranscribeCLI.swift:430)."""
     from whisperkit_tpu.pipelines.diarize import DiarizePipeline
     from whisperkit_tpu.speaker.results import SpeakerMergeStrategy
 
-    dia = DiarizePipeline().diarize(path)
+    model_folder = getattr(args, "model_folder", None) if args else None
+    dia = DiarizePipeline.from_pretrained(model_folder=model_folder).diarize(path)
     merged = dia.add_speaker_info(result, SpeakerMergeStrategy.SEGMENT)
     for seg in merged.segments:
         if seg.speaker:

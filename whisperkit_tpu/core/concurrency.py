@@ -63,42 +63,46 @@ class CoalescingLoader:
     Reference: LoadModelsCoordinator actor (ModelManager.swift:214-232).
     """
 
+    class _Round:
+        """One in-flight load attempt; error/result are per-round so a new
+        attempt can't clobber what an old round's waiters will read."""
+
+        def __init__(self):
+            self.event = threading.Event()
+            self.result: Optional[object] = None
+            self.error: Optional[BaseException] = None
+
     def __init__(self, load_fn: Callable[[], T]):
         self._load_fn = load_fn
         self._lock = threading.Lock()
         self._loaded: Optional[T] = None
-        self._in_flight: Optional[threading.Event] = None
-        self._error: Optional[BaseException] = None
+        self._in_flight: Optional["CoalescingLoader._Round"] = None
 
     def ensure_loaded(self) -> T:
         with self._lock:
             if self._loaded is not None:
                 return self._loaded
             if self._in_flight is None:
-                self._in_flight = threading.Event()
-                evt, owner = self._in_flight, True
-                self._error = None
+                self._in_flight = CoalescingLoader._Round()
+                rnd, owner = self._in_flight, True
             else:
-                evt, owner = self._in_flight, False
+                rnd, owner = self._in_flight, False
         if owner:
             try:
-                result = self._load_fn()
+                rnd.result = self._load_fn()
                 with self._lock:
-                    self._loaded = result
+                    self._loaded = rnd.result
             except BaseException as e:
-                with self._lock:
-                    self._error = e
+                rnd.error = e
             finally:
                 with self._lock:
                     self._in_flight = None
-                evt.set()
+                rnd.event.set()
         else:
-            evt.wait()
-        with self._lock:
-            if self._error is not None:
-                raise self._error
-            assert self._loaded is not None
-            return self._loaded
+            rnd.event.wait()
+        if rnd.error is not None:
+            raise rnd.error
+        return rnd.result  # type: ignore[return-value]
 
     def unload(self) -> None:
         with self._lock:

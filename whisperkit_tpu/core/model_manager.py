@@ -66,7 +66,13 @@ class ModelManager(Generic[T]):
         if prewarm and self._prewarm_fn is not None:
             self._set_state(ModelState.PREWARMING)
             t0 = time.perf_counter()
-            self._prewarm_fn(model)
+            try:
+                self._prewarm_fn(model)
+            except Exception as e:
+                # prewarm is an optimization: the model IS loaded, so log
+                # and continue to LOADED (mirrors the reference's defensive
+                # recompile semantics) instead of wedging in PREWARMING
+                logging.error(f"prewarm failed (continuing unprewarmed): {e}")
             self.prewarm_time = time.perf_counter() - t0
         self._set_state(ModelState.LOADED)
         logging.debug(

@@ -190,10 +190,10 @@ def layer_norm(x, p, eps=1e-5):
 
 
 def dense(x, p):
-    if "w_q" in p:  # W8A16: int8 weight + per-channel scale (ops/quant.py);
-        # the dequant multiply fuses into the matmul's operand read
-        w = p["w_q"].astype(x.dtype) * p["scale"].astype(x.dtype)[None, :]
-        y = jnp.dot(x, w)
+    if "w_q" in p:  # W8A16 (ops/quant.py): dequant fuses into the matmul
+        from whisperkit_tpu.ops.quant import quantized_matmul
+
+        y = quantized_matmul(x, p)
     else:
         y = jnp.dot(x, p["w"], precision=_prec(x, p["w"]))
     if "b" in p:

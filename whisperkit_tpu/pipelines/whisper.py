@@ -250,11 +250,23 @@ class WhisperPipeline:
                 self._mesh_plan = False
             else:
                 from whisperkit_tpu.parallel.mesh import make_mesh
+                from whisperkit_tpu.parallel.sharding import shard_whisper_params
 
                 self._mesh_plan = make_mesh(dp=dp, tp=co.tp_size)
-                self.params = jax.device_put(
-                    self.params, self._mesh_plan.replicated
-                )
+                try:
+                    # tp>1: Megatron-split the weights; tp=1: replicate
+                    self.params = shard_whisper_params(
+                        self._mesh_plan, self.params
+                    )
+                except Exception as e:
+                    # e.g. quantized trees (w_q/scale) have no TP rules yet
+                    logging.error(
+                        f"tensor-parallel sharding unavailable ({e}); "
+                        f"replicating params"
+                    )
+                    self.params = jax.device_put(
+                        self.params, self._mesh_plan.replicated
+                    )
         return self._mesh_plan or None
 
     # -- language detection -------------------------------------------------
