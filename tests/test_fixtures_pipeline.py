@@ -90,3 +90,19 @@ def test_qwen3_loader_round_trip(tmp_path):
         np.asarray(params["blocks"]["wq"][1], np.float32),
         tensors["model.layers.1.self_attn.q_proj.weight"].T, atol=1e-6,
     )
+
+
+def test_es_ja_clips_full_pipeline(pipe, resources):
+    """ES/JA fixture clips through the full pipeline (structural checks —
+    random weights; the reference's ES/JA decode tests use real models)."""
+    from whisperkit_tpu.audio.io import load_audio
+
+    for name in ("es_test_clip.wav", "ja_test_clip.wav"):
+        path = resources / name
+        if not path.exists():
+            pytest.skip(f"{name} missing")
+        audio = load_audio(path)
+        assert audio.ndim == 1 and len(audio) > 16000
+        res = pipe.transcribe(audio, DecodingOptions(sample_length=6, language="en"))
+        assert res.timings.input_audio_seconds > 1.0
+        assert all(s.end >= s.start for s in res.segments)

@@ -198,6 +198,10 @@ def cmd_transcribe(args) -> int:
             f"{dt:.2f}s (RTF {result.timings.real_time_factor:.3f})",
             file=sys.stderr,
         )
+        if args.verbose:
+            # full stage-timing report (reference: logTimings,
+            # Models.swift:478-539)
+            result.timings.log()
         if args.report:
             for fmt in args.report_format:
                 out = make_writer(fmt, args.report_path).write(result, path.stem)
