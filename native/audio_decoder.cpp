@@ -136,6 +136,20 @@ int wk_decode_audio(const char* path, float** out_samples, int64_t* out_frames,
   while (avcodec_receive_frame(d.codec, d.frame) >= 0) {
     append_frame(d, d.frame, channels, samples);
   }
+  // Drain the resampler's internal buffer (trailing samples otherwise lost).
+  for (;;) {
+    const int max_out = swr_get_out_samples(d.swr, 0);
+    if (max_out <= 0) break;
+    const size_t base = samples.size();
+    samples.resize(base + static_cast<size_t>(max_out) * channels);
+    uint8_t* dst = reinterpret_cast<uint8_t*>(samples.data() + base);
+    const int converted = swr_convert(d.swr, &dst, max_out, nullptr, 0);
+    if (converted <= 0) {
+      samples.resize(base);
+      break;
+    }
+    samples.resize(base + static_cast<size_t>(converted) * channels);
+  }
 
   const int64_t frames = static_cast<int64_t>(samples.size()) / channels;
   float* buf = static_cast<float*>(
