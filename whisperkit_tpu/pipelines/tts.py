@@ -390,6 +390,8 @@ class TTSPipeline:
             speech_decoder_forward(self.params, jnp.asarray(codes), self.dims)
         )  # [B, MAX*1920]
         timings.vocode_seconds = time.perf_counter() - t0
+        # first audible buffer exists once generation+vocode of chunk 0 done
+        timings.time_to_first_buffer = time.perf_counter() - t_start
 
         # ordered delivery + crossfade (reference :868-941)
         pieces = [
