@@ -154,3 +154,29 @@ def test_window_clip_time_respected(pipe):
     audio = (rng.standard_normal(16000 * 31) * 0.1).astype(np.float32)
     res = pipe.transcribe(audio, DecodingOptions(**OPTS))
     assert res.timings.total_decoding_windows >= 1
+
+
+def test_batch_api_stacks_short_items(pipe):
+    """transcribe([...]) of short clips runs ONE batched decode (encoding
+    run count grows by the batch, not per-item dispatches) and preserves
+    order + per-item errors."""
+    rng = np.random.default_rng(21)
+    clips = [(rng.standard_normal(16000 * 2) * 0.1).astype(np.float32) for _ in range(3)]
+    out = pipe.transcribe(
+        [clips[0], "/missing.wav", clips[1], clips[2]], DecodingOptions(**OPTS)
+    )
+    assert len(out) == 4
+    assert isinstance(out[1], Exception)
+    for i in (0, 2, 3):
+        assert not isinstance(out[i], Exception)
+        assert out[i].timings.input_audio_seconds == pytest.approx(2.0, abs=0.1)
+
+
+def test_batch_api_mixes_short_and_long(pipe):
+    rng = np.random.default_rng(22)
+    short = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    long_ = (rng.standard_normal(16000 * 35) * 0.1).astype(np.float32)
+    out = pipe.transcribe([short, long_], DecodingOptions(**OPTS))
+    assert not isinstance(out[0], Exception)
+    assert not isinstance(out[1], Exception)
+    assert out[1].timings.input_audio_seconds == pytest.approx(35.0, abs=0.2)

@@ -458,13 +458,7 @@ class WhisperPipeline:
         """
         options = decode_options or DecodingOptions()
         if isinstance(audio, (list, tuple)):
-            out = []
-            for item in audio:
-                try:
-                    out.append(self.transcribe(item, options, callback))
-                except Exception as e:  # batch keeps per-item failures
-                    out.append(e)
-            return out
+            return self._transcribe_batch(list(audio), options, callback)
         t0 = time.perf_counter()
         timings = TranscriptionTimings(pipeline_start=t0)
         self.timings = timings
@@ -489,6 +483,91 @@ class WhisperPipeline:
         timings.full_pipeline = time.perf_counter() - t0
         result.timings = timings
         return result
+
+    def _transcribe_batch(self, items: list, options: DecodingOptions, callback=None) -> list:
+        """Batch API: short items (≤ one window) are STACKED into one
+        batched decode; longer ones run through their own (internally
+        batched) paths. Per-item failures are preserved in order.
+
+        Reference: the TaskGroup batch overloads (WhisperKit.swift:716-812,
+        error mixing :644-660) — but with a real batch dimension.
+        """
+        loaded: list = [None] * len(items)
+        results: list = [None] * len(items)
+        for i, item in enumerate(items):
+            try:
+                if isinstance(item, (str, Path)):
+                    loaded[i] = load_audio(item)
+                else:
+                    loaded[i] = np.asarray(item, np.float32)
+            except Exception as e:
+                results[i] = e
+
+        short_idx = [
+            i for i, a in enumerate(loaded)
+            if results[i] is None and a is not None and len(a) <= WINDOW_SAMPLES
+        ]
+        # one batched mel→encode→decode for all short items
+        group = max(1, options.concurrent_worker_count)
+        for start in range(0, len(short_idx), group):
+            batch_ids = short_idx[start : start + group]
+            try:
+                batch_results = self._transcribe_short_batch(
+                    [loaded[i] for i in batch_ids], options
+                )
+                for i, r in zip(batch_ids, batch_results):
+                    results[i] = r
+            except Exception as e:
+                for i in batch_ids:
+                    results[i] = e
+        # long items: sequential (each internally batched via VAD)
+        for i, a in enumerate(loaded):
+            if results[i] is None:
+                try:
+                    results[i] = self.transcribe(a, options, callback)
+                except Exception as e:
+                    results[i] = e
+        return results
+
+    def _transcribe_short_batch(
+        self, audios: list, options: DecodingOptions
+    ) -> list:
+        """Decode N ≤30 s clips as one batch."""
+        t0 = time.perf_counter()
+        mels = [self._mel(pad_or_trim(a, WINDOW_SAMPLES)) for a in audios]
+        mel_batch = jnp.stack(mels)
+        _, ck, cv = encode_window(self.params, mel_batch, self.dims)
+        self._detected_language = None
+        language = self._resolve_language(options, ck, cv)
+        decodes = self._decode_with_fallback(ck, cv, options, language, 0)
+        sp = self.tokenizer.special
+        out = []
+        for a, wd in zip(audios, decodes):
+            window_frames = min(WINDOW_FRAMES, math.ceil(len(a) / 160))
+            if self._should_skip_silent(wd, options):
+                segments = []
+            else:
+                res = find_seek_point_and_segments(
+                    tokens=wd.tokens, token_logprobs=wd.logprobs, special=sp,
+                    time_offset=0.0, window_frames=window_frames, seek=0,
+                    decode_fn=self.tokenizer.decode, temperature=wd.temperature,
+                    avg_logprob=wd.avg_logprob,
+                    compression_ratio=wd.compression_ratio,
+                    no_speech_prob=wd.no_speech_prob,
+                )
+                segments = res.segments
+                if options.word_timestamps and wd.alignment is not None:
+                    segments = self._add_word_timestamps(
+                        segments, wd, 0.0, window_frames, options
+                    )
+            result = TranscriptionResult(
+                text="".join(s.text for s in segments).strip(),
+                segments=segments, language=language,
+            )
+            result.timings.input_audio_seconds = len(a) / SAMPLE_RATE
+            result.timings.full_pipeline = time.perf_counter() - t0
+            out.append(result)
+        return out
 
     def _transcribe_vad_chunked(
         self, audio: np.ndarray, options: DecodingOptions, callback=None
