@@ -227,3 +227,42 @@ def test_cli_diarization_combo(tmp_path, pipe, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "SPEAKER_00" in out
+
+
+def test_server_responses_match_schema(pipe, wav_bytes):
+    """Responses validate against the pydantic OpenAI Audio API schema
+    (the reference's generated OpenAPI types, Server/GeneratedSources)."""
+    import asyncio
+
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from whisperkit_tpu.server.openai_api import create_app
+    from whisperkit_tpu.server.schema import (
+        HealthResponse,
+        TranscriptionResponse,
+        VerboseTranscriptionResponse,
+    )
+
+    async def go():
+        app = create_app(pipe, batching=True, max_batch=4)
+        async with TestClient(TestServer(app)) as client:
+            h = await client.get("/health")
+            HealthResponse.model_validate(await h.json())
+
+            for fmt, model in (
+                ("json", TranscriptionResponse),
+                ("verbose_json", VerboseTranscriptionResponse),
+            ):
+                form = aiohttp.FormData()
+                form.add_field("file", wav_bytes, filename="x.wav",
+                               content_type="audio/wav")
+                form.add_field("language", "en")
+                form.add_field("response_format", fmt)
+                if fmt == "verbose_json":
+                    form.add_field("timestamp_granularities[]", "word")
+                r = await client.post("/v1/audio/transcriptions", data=form)
+                assert r.status == 200
+                model.model_validate(await r.json())
+
+    asyncio.run(go())

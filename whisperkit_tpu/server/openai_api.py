@@ -85,9 +85,11 @@ def create_app(pipeline, *, batching: bool = True, max_batch: int = 16):
         scheduler = BatchScheduler(pipeline, max_batch=max_batch)
 
     async def health(request):
-        return web.json_response(
-            {"status": "ok", "model_state": str(pipeline.model_state)}
-        )
+        payload = {"status": "ok", "model_state": str(pipeline.model_state)}
+        if scheduler is not None:
+            payload["batches_run"] = scheduler.batches_run
+            payload["jobs_run"] = scheduler.jobs_run
+        return web.json_response(payload)
 
     async def _parse_multipart(request):
         reader = await request.multipart()
