@@ -10,7 +10,7 @@ Top-level API mirrors the reference's pipeline façades:
   - transcribe(), detect_language()
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from whisperkit_tpu.core.configurations import (  # noqa: F401
     WhisperConfig,
