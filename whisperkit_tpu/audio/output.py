@@ -13,7 +13,7 @@ from __future__ import annotations
 import enum
 import wave
 from pathlib import Path
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import numpy as np
 

@@ -9,7 +9,6 @@ Flags mirror the reference's argument structs 1:1 (snake-case →
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 from pathlib import Path

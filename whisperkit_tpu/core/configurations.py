@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Callable, Optional, Sequence, Union
+from typing import Optional, Sequence
 
 
 class ChunkingStrategy(str, enum.Enum):

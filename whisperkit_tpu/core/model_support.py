@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional
 
 
 @dataclasses.dataclass

@@ -15,7 +15,7 @@ import dataclasses
 import json
 import os
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional
 
 from whisperkit_tpu.core.errors import ModelsUnavailable
 from whisperkit_tpu.core.logging import logging

@@ -15,7 +15,6 @@ finish times.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Optional
 

@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from fractions import Fraction
-from typing import Iterator, Optional
+from typing import Optional
 
 
 def remove_symbols_and_diacritics(s: str, keep: str = "") -> str:

@@ -18,9 +18,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import time
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional
 
 from whisperkit_tpu.core.configurations import DecodingOptions
 from whisperkit_tpu.core.logging import logging

@@ -11,7 +11,7 @@ the same hit/substitution/deletion/insertion counts the reference reports.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

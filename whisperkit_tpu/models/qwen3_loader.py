@@ -21,12 +21,7 @@ import numpy as np
 
 from whisperkit_tpu.core.errors import ModelsUnavailable
 from whisperkit_tpu.core.logging import logging
-from whisperkit_tpu.models.qwen3_tts import (
-    CODEC_VOCAB,
-    HEAD_VOCAB,
-    Qwen3TTSDims,
-    init_tts_params,
-)
+from whisperkit_tpu.models.qwen3_tts import Qwen3TTSDims, init_tts_params
 
 
 def dims_from_qwen3_config(cfg: dict) -> Qwen3TTSDims:

@@ -22,7 +22,6 @@ weights in torch OIH layout consumed directly by lax.conv dimension numbers.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax

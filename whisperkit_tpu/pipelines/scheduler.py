@@ -35,7 +35,6 @@ from whisperkit_tpu.core.configurations import DecodingOptions
 from whisperkit_tpu.core.results import TranscriptionResult
 from whisperkit_tpu.decoding.loop import encode_window
 from whisperkit_tpu.text.segment_seeker import (
-    FRAMES_PER_SECOND,
     WINDOW_FRAMES,
     find_seek_point_and_segments,
 )

@@ -18,7 +18,6 @@ call per pass, so passes are cheap enough to run at ~1 Hz.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Callable, Iterable, Iterator, Optional
 
 import numpy as np
@@ -28,7 +27,6 @@ from whisperkit_tpu.audio.vad import is_voice_detected
 from whisperkit_tpu.core.configurations import DecodingOptions
 from whisperkit_tpu.core.results import TranscriptionSegment, WordTiming
 from whisperkit_tpu.text.transcription_utils import find_longest_common_prefix
-from whisperkit_tpu.text.utils import compression_ratio_text
 
 
 @dataclasses.dataclass

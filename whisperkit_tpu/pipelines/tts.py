@@ -24,11 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from whisperkit_tpu.audio.output import (
-    PlaybackStrategy,
-    crossfade,
-    save_wav,
-)
+from whisperkit_tpu.audio.output import PlaybackStrategy, crossfade
 from whisperkit_tpu.core.logging import logging
 from whisperkit_tpu.decoding.tts_loop import TTSScalars, tts_generate_loop, tts_prefill
 from whisperkit_tpu.models.qwen3_tts import (

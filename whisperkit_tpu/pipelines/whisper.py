@@ -33,12 +33,11 @@ from whisperkit_tpu.core.configurations import (
     DecodingTask,
     WhisperConfig,
 )
-from whisperkit_tpu.core.errors import ModelsUnavailable, TranscriptionFailed
+from whisperkit_tpu.core.errors import ModelsUnavailable
 from whisperkit_tpu.core.logging import logging
 from whisperkit_tpu.core.modelstate import ModelState
 from whisperkit_tpu.core.results import (
     DecodingFallback,
-    DecodingResult,
     TranscriptionProgress,
     TranscriptionResult,
     TranscriptionSegment,
@@ -51,7 +50,7 @@ from whisperkit_tpu.decoding.loop import (
     detect_language_logits,
     encode_window,
 )
-from whisperkit_tpu.models.whisper import WhisperDims, init_params
+from whisperkit_tpu.models.whisper import WhisperDims
 from whisperkit_tpu.ops.mel import log_mel_spectrogram
 from whisperkit_tpu.text.languages import LANGUAGES
 from whisperkit_tpu.text.segment_seeker import (

@@ -19,7 +19,6 @@ matching the OpenAI streaming event shapes.
 from __future__ import annotations
 
 import asyncio
-import dataclasses
 import json
 import tempfile
 import threading
@@ -31,7 +30,6 @@ from whisperkit_tpu.core.logging import logging
 
 
 def _result_payload(result, response_format: str):
-    from whisperkit_tpu.core.results import TranscriptionResult
     from whisperkit_tpu.text.writers import WriteSRT, WriteVTT
 
     if response_format == "text":

@@ -17,7 +17,7 @@ costs ~1700 small vector ops instead of 345k Python iterations.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

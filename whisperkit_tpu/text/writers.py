@@ -6,10 +6,9 @@ Reference: Sources/WhisperKit/Utilities/ResultWriter.swift:40-134
 
 from __future__ import annotations
 
-import dataclasses
 import json
 from pathlib import Path
-from typing import Optional, Union
+from typing import Union
 
 from whisperkit_tpu.core.results import TranscriptionResult, TranscriptionSegment
 
