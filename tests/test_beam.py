@@ -93,3 +93,58 @@ def test_pipeline_beam_option():
         DecodingOptions(sample_length=8, language="en", beam_size=3),
     )
     assert res.segments
+
+
+def test_beam_exhaustive_optimality_two_steps():
+    """With beam width == vocab and EOT suppressed, two beam steps are an
+    exhaustive search: the winner must equal the brute-force argmax over
+    all two-token continuations (teacher-forced scores)."""
+    from whisperkit_tpu.models.whisper import decoder_forward
+
+    V2 = 33  # micro vocab (synthetic special layout needs >= 19)
+    sp2 = special_tokens_for_vocab(V2)
+    dims2 = WhisperDims(80, V2, 1500, 32, 2, 1, 32, 32, 2, 1)
+    params2 = init_params(jax.random.PRNGKey(7), dims2, dtype=jnp.float32)
+    mel = jnp.zeros((1, 80, 3000), jnp.float32)
+    _, ck, cv = encode_window(params2, mel, dims2)
+    prompt = jnp.asarray([[sp2.sot, sp2.transcribe]], jnp.int32)
+
+    # suppress EOT and all specials so nothing finishes and every candidate
+    # is a plain 2-text-token sequence
+    suppress = np.zeros(V2, np.float32)
+    suppress[sp2.eot :] = -np.inf
+    suppress_j = jnp.asarray(suppress)
+
+    out = beam_decode_loop(
+        params2, ck, cv, prompt, suppress_j, jnp.int32(50),
+        dims=dims2, special=sp2, sample_begin=2, max_new_tokens=2,
+        beam_size=V2, sot_index=0, use_timestamp_rules=False,
+        suppress_blank=False,
+    )
+    beam_tokens = np.asarray(out.tokens)[0, 2:4]
+    beam_score = float(np.asarray(out.sum_logprob)[0])
+
+    # brute force: teacher-force every (t1, t2) pair of text tokens
+    text = np.arange(sp2.eot)  # valid text ids
+    pairs = np.stack(np.meshgrid(text, text, indexing="ij"), -1).reshape(-1, 2)
+    seqs = np.concatenate(
+        [np.tile(np.asarray(prompt[0]), (len(pairs), 1)), pairs], axis=1
+    )
+    kv_shape = (dims2.n_text_layer, len(pairs), dims2.n_text_head, 4, dims2.head_dim)
+    kv = (jnp.zeros(kv_shape, jnp.float32), jnp.zeros(kv_shape, jnp.float32))
+    ck_b = jnp.repeat(ck, len(pairs), axis=1)
+    cv_b = jnp.repeat(cv, len(pairs), axis=1)
+    logits, _, _ = decoder_forward(
+        params2, jnp.asarray(seqs, jnp.int32), 0, kv[0], kv[1], ck_b, cv_b, dims2
+    )
+    logprobs = np.asarray(jax.nn.log_softmax(np.asarray(logits) + suppress[None, None, :], axis=-1))
+    # score of token at position 2 comes from logits at position 1, etc.
+    s1 = logprobs[np.arange(len(pairs)), 1, pairs[:, 0]]
+    s2 = logprobs[np.arange(len(pairs)), 2, pairs[:, 1]]
+    total = s1 + s2
+    best = int(np.argmax(total))
+
+    assert tuple(beam_tokens) == tuple(pairs[best]), (
+        beam_tokens, pairs[best], beam_score, total[best],
+    )
+    assert beam_score == pytest.approx(float(total[best]), abs=1e-3)

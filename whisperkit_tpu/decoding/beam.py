@@ -98,8 +98,9 @@ def beam_decode_loop(
     cross_v_b = expand(cross_v)
 
     kv_shape = (dims.n_text_layer, bk, n_head, total, dims.head_dim)
-    kv_k = jnp.zeros(kv_shape, jnp.bfloat16)
-    kv_v = jnp.zeros(kv_shape, jnp.bfloat16)
+    kv_dtype = params["decoder"]["token_embed"].dtype  # f32 on parity paths
+    kv_k = jnp.zeros(kv_shape, kv_dtype)
+    kv_v = jnp.zeros(kv_shape, kv_dtype)
 
     prompt_bk = jnp.repeat(prompt, k, axis=0)  # [B*K, P]
     logits, (kv_k, kv_v), _ = decoder_forward(
