@@ -148,3 +148,36 @@ def test_beam_exhaustive_optimality_two_steps():
         beam_tokens, pairs[best], beam_score, total[best],
     )
     assert beam_score == pytest.approx(float(total[best]), abs=1e-3)
+
+
+def test_alignment_forward_f32_parity_with_loop_capture():
+    """Teacher-forced alignment (beam word-timestamp path) must match the
+    greedy loop's captured alignment on an f32 parity path — the KV cache
+    dtype follows the params (decoding/loop.py::alignment_forward)."""
+    from whisperkit_tpu.decoding.loop import alignment_forward
+
+    params = init_params(jax.random.PRNGKey(3), DIMS, dtype=jnp.float32)
+    mel = jax.random.normal(jax.random.PRNGKey(4), (2, 80, 3000)) * 0.1
+    _, ck, cv = encode_window(params, mel, DIMS)
+    prompt = jnp.asarray([[SP.sot, SP.transcribe]] * 2, jnp.int32)
+    heads = ((0, 0), (1, 2))
+    scalars = DecodeScalars(
+        temperature=jnp.float32(0.0),
+        max_initial_timestamp_index=jnp.int32(50),
+        first_token_logprob_threshold=jnp.float32(float("-inf")),
+        rng_key=jax.random.PRNGKey(0),
+    )
+    out = decode_loop(
+        params, ck, cv, prompt, jnp.zeros((V,)), scalars,
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=6, top_k=5,
+        sot_index=0, use_timestamp_rules=False, suppress_blank=False,
+        alignment_heads=heads,
+    )
+    n = int(out.length)
+    align_tf = alignment_forward(
+        params, ck, cv, out.tokens[:, :n], dims=DIMS, alignment_heads=heads
+    )
+    got = np.asarray(align_tf)
+    want = np.asarray(out.alignment)[:n]
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -223,7 +223,8 @@ def alignment_forward(
     """
     b, t = tokens.shape
     kv_shape = (dims.n_text_layer, b, dims.n_text_head, t, dims.head_dim)
-    kv = (jnp.zeros(kv_shape, jnp.bfloat16), jnp.zeros(kv_shape, jnp.bfloat16))
+    kv_dtype = params["decoder"]["token_embed"].dtype  # f32 on parity paths
+    kv = (jnp.zeros(kv_shape, kv_dtype), jnp.zeros(kv_shape, kv_dtype))
     _, _, cross_probs = decoder_forward(
         params, tokens, 0, kv[0], kv[1], cross_k, cross_v, dims,
         capture_alignment=True,
@@ -243,7 +244,8 @@ def detect_language_logits(
     b = cross_k.shape[1]
     total = 8  # tiny KV for a single step
     kv_shape = (dims.n_text_layer, b, dims.n_text_head, total, dims.head_dim)
-    kv = (jnp.zeros(kv_shape, jnp.bfloat16), jnp.zeros(kv_shape, jnp.bfloat16))
+    kv_dtype = params["decoder"]["token_embed"].dtype
+    kv = (jnp.zeros(kv_shape, kv_dtype), jnp.zeros(kv_shape, kv_dtype))
     prompt = jnp.full((b, 1), special.sot, jnp.int32)
     logits, _, _ = decoder_forward(
         params, prompt, 0, kv[0], kv[1], cross_k, cross_v, dims

@@ -671,11 +671,22 @@ class WhisperPipeline:
         )
 
     def _resolve_language(self, options: DecodingOptions, ck, cv) -> str:
+        """Resolve the decode language for the current window.
+
+        Reference semantics (TranscribeTask.swift:327 → TextDecoder.swift:420):
+        `detectLanguage=True` re-detects inside every window's
+        decodeWithFallback — mirrored here by skipping the cache. When the
+        language is merely unset, detection runs once per call on the first
+        window and is reused (a deliberate divergence: one masked decode step
+        instead of one per window; differs only on code-switched audio).
+        """
         if options.language:
             return options.language
         if not self.is_multilingual:
             return "en"
-        if options.detect_language or options.language is None:
+        if options.detect_language:
+            return self._detect_language_from_encoded(ck, cv)
+        if options.language is None:
             if self._detected_language is None:
                 self._detected_language = self._detect_language_from_encoded(ck, cv)
             return self._detected_language
