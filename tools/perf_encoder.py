@@ -1,0 +1,315 @@
+"""Encoder MFU experiments on the live TPU (VERDICT r1 #3).
+
+Measures large-v3-turbo encoder variants at b=16 and prints ms + MFU per
+variant. Methodology per docs/BENCHMARKS.md: warmup compile, median of 5,
+np.asarray of a scalar reduction to force completion (block_until_ready is
+unreliable over the axon relay).
+
+Run: python tools/perf_encoder.py [--variants v0,v1,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperkit_tpu.core.compile_cache import enable_compilation_cache
+from whisperkit_tpu.models.whisper import (
+    VARIANT_DIMS,
+    _attend,
+    _conv1d,
+    _merge_heads,
+    _prec,
+    _split_heads,
+    dense,
+    encoder_forward,
+    init_params,
+    layer_norm,
+)
+
+DIMS = VARIANT_DIMS["large-v3-turbo"]
+B = 16
+
+# encoder FLOPs (matmuls only): conv1 + conv2 + per-layer (qkv+out+mlp+attn)
+D = DIMS.n_audio_state
+T = 1500
+L = DIMS.n_audio_layer
+FLOPS = (
+    2 * B * 3000 * D * DIMS.n_mels * 3  # conv1
+    + 2 * B * T * D * D * 3  # conv2 (stride 2)
+    + L * (4 * 2 * B * T * D * D + 2 * 2 * B * T * D * 4 * D + 2 * 2 * B * T * T * D)
+)
+V5E_PEAK = 197e12  # bf16 TFLOPS
+
+
+def fuse_qkv(params):
+    """Pre-fuse q/k/v (and their biases) into one [D, 3D] projection."""
+
+    def per_block(bp):
+        # stacked blocks: weights are [L, D, D], biases [L, D]
+        a = bp["attn"]
+        wq, wk, wv = a["q"]["w"], a["k"]["w"], a["v"]["w"]
+        w = jnp.concatenate([wq, wk, wv], axis=-1)
+        b = jnp.concatenate(
+            [a["q"]["b"], jnp.zeros_like(a["q"]["b"]), a["v"]["b"]], axis=-1
+        )
+        out = dict(bp)
+        out["attn"] = {"qkv": {"w": w, "b": b}, "out": a["out"]}
+        return out
+
+    enc = dict(params["encoder"])
+    enc["blocks"] = jax.tree.map(
+        lambda x: x, per_block(params["encoder"]["blocks"])
+    )
+    return {**params, "encoder": enc}
+
+
+def encoder_v1(params, mel, dims):
+    """Fused-QKV encoder."""
+    enc = params["encoder"]
+    x = jax.nn.gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
+    x = x.transpose(0, 2, 1)
+    x = x + enc["pos_embed"].astype(x.dtype)
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        h = layer_norm(x, bp["attn_ln"])
+        qkv = dense(h, bp["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = _attend(
+            _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head)
+        )
+        x = x + dense(_merge_heads(out), bp["attn"]["out"])
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
+def _attend_bf16(q, k, v):
+    scale = q.shape[-1] ** -0.25
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k * scale)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def encoder_v2(params, mel, dims):
+    """Fused-QKV + bf16 attention scores (halves score-tensor HBM traffic)."""
+    enc = params["encoder"]
+    x = jax.nn.gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
+    x = x.transpose(0, 2, 1)
+    x = x + enc["pos_embed"].astype(x.dtype)
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        h = layer_norm(x, bp["attn_ln"])
+        qkv = dense(h, bp["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = _attend_bf16(
+            _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head)
+        )
+        x = x + dense(_merge_heads(out), bp["attn"]["out"])
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
+def encoder_v3(params, mel, dims):
+    """v2 + channels-last convs (TPU-preferred NWC layout)."""
+    enc = params["encoder"]
+
+    def conv_nwc(x_nwc, w_oik, b, stride):
+        # w [O, I, K] -> [K, I, O]
+        w = w_oik.transpose(2, 1, 0)
+        y = jax.lax.conv_general_dilated(
+            x_nwc.astype(w.dtype), w, (stride,), [(1, 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"), precision=_prec(w),
+        )
+        return y + b[None, None, :]
+
+    x = mel.transpose(0, 2, 1)  # [B, 3000, n_mels]
+    x = jax.nn.gelu(conv_nwc(x, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+    x = jax.nn.gelu(conv_nwc(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
+    x = x + enc["pos_embed"].astype(x.dtype)
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        h = layer_norm(x, bp["attn_ln"])
+        qkv = dense(h, bp["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = _attend_bf16(
+            _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head)
+        )
+        x = x + dense(_merge_heads(out), bp["attn"]["out"])
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
+def encoder_v4(params, mel, dims):
+    """v3 + jax.nn.dot_product_attention (XLA fused attention path)."""
+    enc = params["encoder"]
+
+    def conv_nwc(x_nwc, w_oik, b, stride):
+        w = w_oik.transpose(2, 1, 0)
+        y = jax.lax.conv_general_dilated(
+            x_nwc.astype(w.dtype), w, (stride,), [(1, 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"), precision=_prec(w),
+        )
+        return y + b[None, None, :]
+
+    x = mel.transpose(0, 2, 1)
+    x = jax.nn.gelu(conv_nwc(x, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+    x = jax.nn.gelu(conv_nwc(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
+    x = x + enc["pos_embed"].astype(x.dtype)
+    n_head = dims.n_audio_head
+    dh = dims.n_audio_state // n_head
+
+    def block(x, bp):
+        b_, t_, d_ = x.shape
+        h = layer_norm(x, bp["attn_ln"])
+        qkv = dense(h, bp["attn"]["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b_, t_, n_head, dh)
+        k = k.reshape(b_, t_, n_head, dh)
+        v = v.reshape(b_, t_, n_head, dh)
+        out = jax.nn.dot_product_attention(q, k, v)
+        x = x + dense(out.reshape(b_, t_, d_), bp["attn"]["out"])
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
+def _attend_bf16_f32softmax(q, k, v):
+    """bf16 score materialization, f32 softmax arithmetic (fused elementwise)."""
+    scale = q.shape[-1] ** -0.25
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k * scale)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def _make_encoder(attend, fused_qkv):
+    def enc_fn(params, mel, dims):
+        enc = params["encoder"]
+        x = jax.nn.gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+        x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
+        x = x.transpose(0, 2, 1)
+        x = x + enc["pos_embed"].astype(x.dtype)
+        n_head = dims.n_audio_head
+
+        def block(x, bp):
+            h = layer_norm(x, bp["attn_ln"])
+            if fused_qkv:
+                qkv = dense(h, bp["attn"]["qkv"])
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = dense(h, bp["attn"]["q"])
+                k = dense(h, bp["attn"]["k"])
+                v = dense(h, bp["attn"]["v"])
+            out = attend(
+                _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head)
+            )
+            x = x + dense(_merge_heads(out), bp["attn"]["out"])
+            h = layer_norm(x, bp["mlp_ln"])
+            x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+            return x, None
+
+        x, _ = jax.lax.scan(block, x, enc["blocks"])
+        return layer_norm(x, enc["ln_post"])
+
+    return enc_fn
+
+
+def _attend_flash(q, k, v):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    # block sizes must divide kv_seq_len=1500 (not a multiple of 128)
+    bs = BlockSizes(
+        block_q=500, block_k_major=500, block_k=500, block_b=1,
+        block_q_major_dkv=500, block_k_major_dkv=500, block_k_dkv=500,
+        block_q_dkv=500, block_k_major_dq=500, block_k_dq=500, block_q_dq=500,
+    )
+    # flash kernel applies sm_scale to q only; whisper's dh^-0.25 on both
+    # sides equals dh^-0.5 on q
+    return flash_attention(
+        q, k, v, causal=False, sm_scale=q.shape[-1] ** -0.5, block_sizes=bs
+    )
+
+
+def measure(fn, params, mel, label):
+    jitted = jax.jit(fn)
+    t0 = time.perf_counter()
+    out = jitted(params, mel)
+    _ = np.asarray(out.mean())
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = jitted(params, mel)
+        _ = np.asarray(jnp.mean(out))
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times)) * 1e3
+    mfu = FLOPS / (ms / 1e3) / V5E_PEAK
+    print(f"{label}: {ms:.1f} ms  MFU {mfu*100:.1f}%  (compile {compile_s:.0f}s)", flush=True)
+    return ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="v0,v1,v2,v3,v4")
+    args = ap.parse_args()
+    enable_compilation_cache()
+
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (B, DIMS.n_mels, 3000), jnp.float32)
+    fused = fuse_qkv(params)
+    variants = {
+        "v0": (lambda p, m: encoder_forward(p, m, DIMS), params),
+        "v1": (lambda p, m: encoder_v1(p, m, DIMS), fused),
+        "v2": (lambda p, m: encoder_v2(p, m, DIMS), fused),
+        "v3": (lambda p, m: encoder_v3(p, m, DIMS), fused),
+        "v4": (lambda p, m: encoder_v4(p, m, DIMS), fused),
+        # isolate: separate qkv + bf16 scores / f32 softmax
+        "v5": (lambda p, m: _make_encoder(_attend_bf16_f32softmax, False)(p, m, DIMS), params),
+        # fused qkv + bf16 scores / f32 softmax
+        "v6": (lambda p, m: _make_encoder(_attend_bf16_f32softmax, True)(p, m, DIMS), fused),
+        # Pallas flash attention (no scores materialization)
+        "v7": (lambda p, m: _make_encoder(_attend_flash, True)(p, m, DIMS), fused),
+        "v8": (lambda p, m: _make_encoder(_attend_flash, False)(p, m, DIMS), params),
+        # separate qkv + pure-bf16 softmax (isolate fused-qkv effect vs v2)
+        "v9": (lambda p, m: _make_encoder(_attend_bf16, False)(p, m, DIMS), params),
+    }
+    print(f"b={B} {DIMS.n_audio_layer}L d{DIMS.n_audio_state}  FLOPs/window batch: {FLOPS/1e12:.1f} TF", flush=True)
+    for name in args.variants.split(","):
+        fn, p = variants[name]
+        try:
+            measure(fn, p, mel, name)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
