@@ -72,7 +72,8 @@ def test_vad_clip_timestamps_and_seek_clips():
 
 def test_normalizer_currency_percent_numbers():
     n = EnglishTextNormalizer()
-    assert n("fifty percent") == "50 percent"
+    # full normalizer applies the "%" suffixer (matches openai/transformers)
+    assert n("fifty percent") == "50%"
     assert n("12,345 people") == "12345 people"
     assert n("A 20% rise") == "a 20% rise"
 

@@ -220,3 +220,72 @@ def test_detect_language_probs(params, encoded):
     )
     assert probs.shape == (2, SP.n_languages)
     assert probs.sum(axis=-1) == pytest.approx(np.ones(2), abs=1e-3)
+
+
+def test_prefill_state_reuse_exact():
+    """A decode that reuses a cached PrefillState must equal a fresh decode
+    bit-for-bit (the prompt pass has no sampling) — the fallback ladder
+    reuses one prefill across rungs (VERDICT r1 #6)."""
+    from whisperkit_tpu.decoding.loop import prefill_window
+
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 80, 3000)) * 0.1
+    _, ck, cv = encode_window(params, mel, DIMS)
+    prompt = jnp.asarray([[SP.sot, SP.transcribe]] * 2, jnp.int32)
+    heads = ((0, 1),)
+
+    kw = dict(
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=6,
+        sot_index=0,
+    )
+    pre = prefill_window(params, ck, cv, prompt, alignment_heads=heads, **kw)
+
+    outs = []
+    for prefill in (None, pre, pre):  # reuse twice, like two fallback rungs
+        scalars = DecodeScalars(
+            temperature=jnp.float32(0.0),
+            max_initial_timestamp_index=jnp.int32(50),
+            first_token_logprob_threshold=jnp.float32(float("-inf")),
+            rng_key=jax.random.PRNGKey(7),
+        )
+        outs.append(
+            decode_loop(
+                params, ck, cv, prompt, jnp.zeros((DIMS.n_vocab,)), scalars,
+                top_k=5, use_timestamp_rules=True, suppress_blank=True,
+                alignment_heads=heads, prefill=prefill, **kw,
+            )
+        )
+    for o in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(o.tokens), np.asarray(outs[0].tokens))
+        np.testing.assert_array_equal(
+            np.asarray(o.token_logprobs), np.asarray(outs[0].token_logprobs)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o.alignment), np.asarray(outs[0].alignment)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o.no_speech_prob), np.asarray(outs[0].no_speech_prob)
+        )
+
+
+def test_fallback_ladder_counts_prefill_cache_hits():
+    from whisperkit_tpu.core.configurations import DecodingOptions
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    pipe = WhisperPipeline(dims=DIMS, params=params)
+    audio = np.random.RandomState(0).randn(16000 * 2).astype(np.float32) * 0.1
+    # impossible thresholds force the ladder through every rung
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(
+            language="en",
+            sample_length=4,
+            logprob_threshold=10.0,
+            compression_ratio_threshold=0.0,
+            temperature_fallback_count=2,
+        ),
+    )
+    assert res is not None
+    assert pipe.timings.prefill_cache_hits >= 1
+    assert pipe.timings.prefill > 0

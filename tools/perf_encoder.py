@@ -259,6 +259,34 @@ def _attend_flash(q, k, v):
     )
 
 
+def _attend_flash_padded(q, k, v):
+    """Pallas flash attention; seq padded 1500→1536 (×128) with segment-id
+    masking of the pad keys, output sliced back."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, t, dh = q.shape
+    tp = ((t + 127) // 128) * 128
+    pad = tp - t
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    seg = (jnp.arange(tp) < t).astype(jnp.int32)[None, :].repeat(b, 0)
+    bs = BlockSizes(
+        block_q=512, block_k_major=512, block_k=512, block_b=1,
+        block_q_major_dkv=512, block_k_major_dkv=512, block_k_dkv=512,
+        block_q_dkv=512, block_k_major_dq=512, block_k_dq=512, block_q_dq=512,
+    )
+    out = flash_attention(
+        qp, kp, vp, causal=False, sm_scale=dh ** -0.5,
+        segment_ids=SegmentIds(q=seg, kv=seg), block_sizes=bs,
+    )
+    return out[:, :, :t, :]
+
+
 def measure(fn, params, mel, label):
     jitted = jax.jit(fn)
     t0 = time.perf_counter()
@@ -301,6 +329,9 @@ def main():
         "v8": (lambda p, m: _make_encoder(_attend_flash, False)(p, m, DIMS), params),
         # separate qkv + pure-bf16 softmax (isolate fused-qkv effect vs v2)
         "v9": (lambda p, m: _make_encoder(_attend_bf16, False)(p, m, DIMS), params),
+        # flash attention on 1536-padded seq with segment-id masking
+        "v10": (lambda p, m: _make_encoder(_attend_flash_padded, False)(p, m, DIMS), params),
+        "v11": (lambda p, m: _make_encoder(_attend_flash_padded, True)(p, m, DIMS), fused),
     }
     print(f"b={B} {DIMS.n_audio_layer}L d{DIMS.n_audio_state}  FLOPs/window batch: {FLOPS/1e12:.1f} TF", flush=True)
     for name in args.variants.split(","):

@@ -45,6 +45,7 @@ class TranscriptionTimings:
     total_decoding_loops: float = 0.0
     total_decoding_windows: float = 0.0
     total_decoding_fallbacks: float = 0.0
+    prefill_cache_hits: float = 0.0  # fallback rungs that reused the prompt pass
     first_token_time: float = 0.0  # absolute perf_counter timestamp
     pipeline_start: float = 0.0  # absolute perf_counter timestamp
     input_audio_seconds: float = 1e-3

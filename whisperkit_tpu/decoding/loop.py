@@ -53,6 +53,24 @@ class DecodeLoopOutput(NamedTuple):
     alignment: Optional[jnp.ndarray]  # [TOTAL, B, A, 1500] f32 or None
 
 
+class PrefillState(NamedTuple):
+    """Prompt-pass results, reusable across the temperature-fallback ladder.
+
+    The prefill (prompt forward pass) involves no sampling, so every rung of
+    the ladder (TranscribeTask.swift:316-411) and any same-window re-decode
+    can reuse it — the DecodingCache idea (Models.swift:325-339) made sound
+    for Whisper: KV CANNOT be reused across *windows* (each decoder layer
+    cross-attends to the window's encoder output), but within a window it is
+    temperature-independent.
+    """
+
+    kv_k: jnp.ndarray  # [L, B, H, TOTAL, Dh] with prompt rows filled
+    kv_v: jnp.ndarray
+    last_logits: jnp.ndarray  # [B, V] logits at the last prompt position
+    no_speech_prob: jnp.ndarray  # [B]
+    align_prefix: Optional[jnp.ndarray]  # [P, B, A, 1500] or None
+
+
 @functools.partial(jax.jit, static_argnames=("dims",))
 def encode_window(params, mel: jnp.ndarray, dims: WhisperDims):
     """mel [B, n_mels, 3000] → (enc_out [B,1500,D], cross_k, cross_v).
@@ -69,6 +87,54 @@ def _gather_alignment(cross_probs, align_heads: np.ndarray):
     """cross_probs [L,B,H,T,F] → [T,B,A,F] for the static (layer, head) pairs."""
     sel = cross_probs[align_heads[:, 0], :, align_heads[:, 1]]  # [A,B,T,F]
     return sel.transpose(2, 1, 0, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims",
+        "special",
+        "sample_begin",
+        "max_new_tokens",
+        "sot_index",
+        "alignment_heads",
+    ),
+)
+def prefill_window(
+    params,
+    cross_k,
+    cross_v,
+    prompt: jnp.ndarray,  # [B, P] i32
+    *,
+    dims: WhisperDims,
+    special: SpecialTokens,
+    sample_begin: int,
+    max_new_tokens: int,
+    sot_index: int,
+    alignment_heads: Optional[tuple] = None,
+) -> PrefillState:
+    """Run the prompt through the decoder once; see PrefillState."""
+    b, p = prompt.shape
+    assert p == sample_begin
+    total = sample_begin + max_new_tokens
+    capture = alignment_heads is not None
+
+    kv_shape = (dims.n_text_layer, b, dims.n_text_head, total, dims.head_dim)
+    kv_dtype = params["decoder"]["token_embed"].dtype
+    kv_k = jnp.zeros(kv_shape, kv_dtype)
+    kv_v = jnp.zeros(kv_shape, kv_dtype)
+
+    logits, (kv_k, kv_v), cross_probs = decoder_forward(
+        params, prompt, 0, kv_k, kv_v, cross_k, cross_v, dims,
+        capture_alignment=capture,
+    )
+    no_speech_prob = jax.nn.softmax(logits[:, sot_index], axis=-1)[:, special.nospeech]
+    align_prefix = (
+        _gather_alignment(cross_probs, np.asarray(alignment_heads, np.int32))
+        if capture
+        else None
+    )
+    return PrefillState(kv_k, kv_v, logits[:, -1], no_speech_prob, align_prefix)
 
 
 @functools.partial(
@@ -102,6 +168,7 @@ def decode_loop(
     use_timestamp_rules: bool,
     suppress_blank: bool,
     alignment_heads: Optional[tuple] = None,  # tuple of (layer, head) or None
+    prefill: Optional[PrefillState] = None,  # reuse across fallback rungs
 ) -> DecodeLoopOutput:
     b, p = prompt.shape
     assert p == sample_begin
@@ -110,18 +177,17 @@ def decode_loop(
     capture = alignment_heads is not None
     heads_np = np.asarray(alignment_heads, np.int32) if capture else None
 
-    kv_shape = (dims.n_text_layer, b, n_head, total, dims.head_dim)
-    kv_dtype = params["decoder"]["token_embed"].dtype  # f32 on parity paths
-    kv_k = jnp.zeros(kv_shape, kv_dtype)
-    kv_v = jnp.zeros(kv_shape, kv_dtype)
-
-    # ---- prefill -----------------------------------------------------------
-    logits, (kv_k, kv_v), cross_probs = decoder_forward(
-        params, prompt, 0, kv_k, kv_v, cross_k, cross_v, dims,
-        capture_alignment=capture,
-    )
-    no_speech_prob = jax.nn.softmax(logits[:, sot_index], axis=-1)[:, special.nospeech]
-    last_logits = logits[:, -1]
+    # ---- prefill (or reuse a cached prompt pass) ----------------------------
+    if prefill is None:
+        prefill = prefill_window(
+            params, cross_k, cross_v, prompt,
+            dims=dims, special=special, sample_begin=sample_begin,
+            max_new_tokens=max_new_tokens, sot_index=sot_index,
+            alignment_heads=alignment_heads,
+        )
+    kv_k, kv_v = prefill.kv_k, prefill.kv_v
+    no_speech_prob = prefill.no_speech_prob
+    last_logits = prefill.last_logits
 
     tokens = jnp.concatenate(
         [prompt.astype(jnp.int32), jnp.full((b, max_new_tokens), special.eot, jnp.int32)],
@@ -131,7 +197,7 @@ def decode_loop(
     if capture:
         align = jnp.zeros((total, b, len(alignment_heads), cross_k.shape[3]), jnp.float32)
         align = jax.lax.dynamic_update_slice(
-            align, _gather_alignment(cross_probs, heads_np), (0, 0, 0, 0)
+            align, prefill.align_prefix, (0, 0, 0, 0)
         )
     else:
         align = jnp.zeros((1, 1, 1, 1), jnp.float32)  # placeholder, uncarried shape

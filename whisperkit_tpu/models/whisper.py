@@ -211,20 +211,29 @@ def _merge_heads(x):
 
 
 def _attend(q, k, v, mask=None, capture_probs=False):
-    """q:[B,H,Tq,Dh] k,v:[B,H,Tk,Dh]; whisper scales q and k by dh^-0.25."""
+    """q:[B,H,Tq,Dh] k,v:[B,H,Tk,Dh]; whisper scales q and k by dh^-0.25.
+
+    Scores dtype: f32 on parity paths (f32 operands) and whenever the probs
+    are captured (word-timestamp alignment quality); bf16 otherwise. The
+    encoder's [B,H,1500,1500] score/prob tensors dominate its HBM traffic —
+    bf16 scores measured 494→358 ms (37→52% MFU) at b=16 large-v3-turbo on
+    v5e (tools/perf_encoder.py v0 vs v9).
+    """
     scale = q.shape[-1] ** -0.25
+    keep_f32 = capture_probs or q.dtype == jnp.float32 or k.dtype == jnp.float32
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, k * scale,
-        precision=_prec(q, k), preferred_element_type=jnp.float32,
+        precision=_prec(q, k),
+        preferred_element_type=jnp.float32 if keep_f32 else None,
     )
     if mask is not None:
-        scores = scores + mask
+        scores = scores + mask.astype(scores.dtype)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, precision=_prec(v)
     )
     if capture_probs:
-        return out, probs
+        return out, probs.astype(jnp.float32)
     return out
 
 
