@@ -1,22 +1,54 @@
-"""Benchmark: batched Whisper decode throughput on the available device.
+"""Benchmark: end-to-end WhisperPipeline RTF on the available device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "secondary"}.
 
-Headline metric (BASELINE.md): decode tokens/sec/chip on the flagship
-config. The reference's CI floor is 4 tok/s on-device
-(RegressionTests.swift:270-274); `vs_baseline` is measured against that
-floor since the reference publishes no absolute numbers in-tree
-(BASELINE.md "published: {}").
+Headline (BASELINE.md): real-time factor of the REAL pipeline —
+`WhisperPipeline.transcribe` with VAD chunking, timestamp rules on, and the
+full 224-token window budget over ≥10 minutes of audio (VERDICT r1 #2).
+RTF = fullPipeline / inputAudioSeconds (Models.swift:770-772, lower is
+better); vs_baseline compares against the 0.01 north-star target.
 
-No network access → random-init weights (throughput is weight-value
-independent). Model: Whisper large-v3 turbo shapes when a TPU is present,
-`tiny` on CPU (so the script stays runnable anywhere).
+No network access → random-init weights. Random logits essentially never
+sample EOT, so every window decodes its full token budget — this measures
+the pipeline at ~3× the decode work of real speech (~50-80 tokens/window),
+i.e. the headline is a PESSIMISTIC bound on real-audio RTF. The
+`micro_rtf_32tok` secondary is the round-1 32-token microbench for
+continuity. Quality-triggered fallback re-decodes are disabled (random
+text would trip the compression-ratio ladder on every window, which real
+speech does not).
+
+Model: Whisper large-v3-turbo shapes on TPU, `tiny` + 1 minute on CPU (so
+the script stays runnable anywhere).
 """
 
 from __future__ import annotations
 
 import json
 import time
+
+import numpy as np
+
+
+def synth_speechlike_audio(seconds: float, seed: int = 0) -> np.ndarray:
+    """Speech-shaped test signal: 2-8 s modulated noise bursts separated by
+    0.2-0.8 s of near-silence, so EnergyVAD finds real chunk boundaries."""
+    rng = np.random.default_rng(seed)
+    sr = 16_000
+    total = int(seconds * sr)
+    out = np.zeros(total, np.float32)
+    t = 0
+    while t < total:
+        burst = int(rng.uniform(2.0, 8.0) * sr)
+        gap = int(rng.uniform(0.2, 0.8) * sr)
+        n = min(burst, total - t)
+        if n > 0:
+            x = rng.standard_normal(n).astype(np.float32)
+            # crude spectral shaping + syllabic amplitude modulation
+            env = 0.25 * (0.6 + 0.4 * np.sin(2 * np.pi * 4.0 * np.arange(n) / sr))
+            out[t : t + n] = np.cumsum(x) / 50.0 * env  # brownish noise
+        t += n + gap
+    peak = np.abs(out).max() or 1.0
+    return (out / peak * 0.5).astype(np.float32)
 
 
 def main() -> None:
@@ -27,31 +59,55 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    from whisperkit_tpu.core.configurations import DecodingOptions
     from whisperkit_tpu.decoding.loop import DecodeScalars, decode_loop, encode_window
     from whisperkit_tpu.models.whisper import VARIANT_DIMS, init_params
-    from whisperkit_tpu.ops.mel import log_mel_spectrogram
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
     from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     variant = "large-v3-turbo" if on_tpu else "tiny"
-    batch = 64 if on_tpu else 2  # B=64 measured best RTF/chip on v5e
-    max_new = 32
+    audio_minutes = 12.0 if on_tpu else 1.0
     dims = VARIANT_DIMS[variant]
     sp = special_tokens_for_vocab(dims.n_vocab)
-
     params = init_params(jax.random.PRNGKey(0), dims)
-    audio = jax.random.normal(jax.random.PRNGKey(1), (batch, 480_000)) * 0.1
+
+    # ---- headline: real pipeline, VAD-chunked, rules on, 224-token budget --
+    pipe = WhisperPipeline(dims=dims, params=params)
+    audio = synth_speechlike_audio(audio_minutes * 60.0)
+    options = DecodingOptions(
+        language="en",
+        chunking_strategy="vad",
+        sample_length=224,
+        without_timestamps=False,  # timestamp-rules filter ON
+        # random-init text always trips quality thresholds; disable the
+        # fallback ladder so the bench measures one honest decode per window
+        temperature_fallback_count=0,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+        # random-init first-token logprob (~ -10) would trip the -1.5 floor
+        # and end every window at one token; disable so windows decode the
+        # full budget
+        first_token_log_prob_threshold=None,
+    )
+    pipe.transcribe(audio[: 16_000 * 60], options)  # warmup/compile
+    t0 = time.perf_counter()
+    result = pipe.transcribe(audio, options)
+    pipeline_s = time.perf_counter() - t0
+    rtf = pipeline_s / (len(audio) / 16_000)
+
+    # ---- secondary: round-1 32-token microbench (continuity) ---------------
+    batch = 64 if on_tpu else 2
+    mel_in = jax.random.normal(jax.random.PRNGKey(1), (batch, 480_000)) * 0.1
     prompt = jnp.asarray([[sp.sot, sp.transcribe]] * batch, jnp.int32)
     suppress = jnp.zeros((dims.n_vocab,), jnp.float32)
 
-    import numpy as np
+    from whisperkit_tpu.ops.mel import log_mel_spectrogram
 
-    def run(seed: int):
-        """Full window pipeline: mel → encoder → KV-cached decode loop.
-        np.asarray forces device→host completion (block_until_ready alone is
-        unreliable over remoted transports)."""
-        mel = log_mel_spectrogram(audio, n_mels=dims.n_mels)
+    def run_micro(seed: int):
+        mel = log_mel_spectrogram(mel_in, n_mels=dims.n_mels)
         _, ck, cv = encode_window(params, mel, dims)
         scalars = DecodeScalars(
             temperature=jnp.float32(0.0),
@@ -61,29 +117,35 @@ def main() -> None:
         )
         out = decode_loop(
             params, ck, cv, prompt, suppress, scalars,
-            dims=dims, special=sp, sample_begin=2, max_new_tokens=max_new,
+            dims=dims, special=sp, sample_begin=2, max_new_tokens=32,
             top_k=5, sot_index=0, use_timestamp_rules=False,
             suppress_blank=False,
         )
         return np.asarray(out.tokens)
 
-    run(0)  # compile
-    n_iter = 3
+    run_micro(0)  # compile
     t0 = time.perf_counter()
+    n_iter = 3
     for i in range(n_iter):
-        run(i + 1)
-    dt = (time.perf_counter() - t0) / n_iter
+        run_micro(i + 1)
+    micro_rtf = (time.perf_counter() - t0) / n_iter / (batch * 30.0)
 
-    audio_seconds = batch * 30.0
-    rtf = dt / audio_seconds  # reference: Models.swift:770-772 (lower better)
-    baseline_rtf = 0.01  # BASELINE.md north-star target for TPU
+    baseline_rtf = 0.01  # BASELINE.md north-star target
     print(
         json.dumps(
             {
-                "metric": f"rtf_{variant}_b{batch}",
+                "metric": f"pipeline_rtf_{variant}_vad_{int(audio_minutes)}min",
                 "value": round(rtf, 5),
                 "unit": "rtf (pipeline_s / audio_s, lower is better)",
                 "vs_baseline": round(baseline_rtf / rtf, 2),
+                "secondary": {
+                    f"micro_rtf_32tok_b{batch}": round(micro_rtf, 5),
+                    "segments": len(result.segments),
+                    "tokens_per_second": round(
+                        pipe.timings.total_decoding_loops / pipeline_s, 1
+                    ),
+                    "windows": int(pipe.timings.total_decoding_windows),
+                },
             }
         )
     )

@@ -425,16 +425,68 @@ class TTSPipeline:
         strategy: PlaybackStrategy = PlaybackStrategy.AUTO,
         output_path: Optional[Union[str, Path]] = None,
     ) -> SpeechResult:
-        """Reference: TTSKit.play (:994-1063). On hosts without audio
+        """Reference: TTSKit.play (:994-1063). GENERATE_FIRST (and file
+        output) synthesize everything up front; the other strategies stream
+        through the chunk-scheduled playback engine. On hosts without audio
         hardware the synthesized waveform is written to `output_path`."""
-        result = self.generate(text, options)
-        if output_path is not None:
-            result.save(output_path)
-            return result
-        from whisperkit_tpu.audio.output import play as _play
+        if output_path is not None or strategy == PlaybackStrategy.GENERATE_FIRST:
+            result = self.generate(text, options)
+            if output_path is not None:
+                result.save(output_path)
+                return result
+            from whisperkit_tpu.audio.output import play as _play
 
-        _play(result.audio, result.sample_rate)
-        return result
+            _play(result.audio, result.sample_rate)
+            return result
+        engine, thread = self.play_streaming(text, options, strategy)
+        engine.play_blocking()
+        thread.join()
+        return SpeechResult(
+            audio=np.zeros(0, np.float32),  # streamed to the device
+            sample_rate=OUTPUT_SAMPLE_RATE,
+            text=text,
+            timings=self.timings,
+        )
+
+    def play_streaming(
+        self,
+        text: str,
+        options: Optional[GenerationOptions] = None,
+        strategy: PlaybackStrategy = PlaybackStrategy.AUTO,
+        engine=None,
+        block_frames: int = 25,
+    ):
+        """Start non-blocking streamed synthesis into a
+        StreamingAudioOutput engine (reference: AudioOutput.swift:38-700
+        chunk scheduling + TTSKit.swift:994-1063 `.auto` sizing from the
+        first measured step). Returns (engine, producer_thread); the caller
+        pulls from the engine (hardware callback or test sink)."""
+        import threading
+
+        from whisperkit_tpu.audio.output import StreamingAudioOutput
+
+        if engine is None:
+            engine = StreamingAudioOutput(OUTPUT_SAMPLE_RATE, strategy)
+
+        def produce():
+            t0 = time.perf_counter()
+            first = True
+            try:
+                for block in self.stream_blocks(text, options, block_frames):
+                    if first:
+                        dt = time.perf_counter() - t0
+                        n_frames = max(1, len(block) // SAMPLES_PER_FRAME)
+                        engine.set_measured_step(
+                            dt / n_frames, SAMPLES_PER_FRAME / OUTPUT_SAMPLE_RATE
+                        )
+                        first = False
+                    engine.enqueue(block)
+            finally:
+                engine.finish()
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        return engine, thread
 
     # receptive field of the dilated-conv vocoder, in frames; streamed
     # blocks are vocoded with this much left context so block boundaries
