@@ -71,3 +71,61 @@ def test_quantized_pipeline_end_to_end():
     # outputs need not be identical, but both must be structurally valid
     assert all(s.end >= s.start for s in res_q.segments)
     assert res_f.segments
+
+
+def test_tts_quantization_parity_and_pipeline():
+    """W8A16 TTS (VERDICT r1 #8): quantized code-decoder logits stay within
+    int8 tolerance of bf16, and the quantized pipeline synthesizes finite
+    audio end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisperkit_tpu.models.qwen3_tts import (
+        TINY_TTS_DIMS,
+        code_decoder_forward,
+        init_code_kv_cache,
+        init_tts_params,
+    )
+    from whisperkit_tpu.ops.quant import quantize_tts_params, quantized_size_bytes
+    from whisperkit_tpu.pipelines.tts import GenerationOptions, TTSPipeline
+
+    dims = TINY_TTS_DIMS
+    params = init_tts_params(jax.random.PRNGKey(0), dims, dtype=jnp.float32)
+    qparams = quantize_tts_params(params, min_size=1)
+    assert quantized_size_bytes(qparams) < quantized_size_bytes(params)
+
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 4, dims.d_model)) * 0.1
+    kv = init_code_kv_cache(dims, 2, 16)
+    ref_logits, _, _ = code_decoder_forward(params, embeds, 0, *kv, dims)
+    q_logits, _, _ = code_decoder_forward(qparams, embeds, 0, *kv, dims)
+    ref, q = np.asarray(ref_logits), np.asarray(q_logits)
+    scale = np.abs(ref).max() or 1.0
+    assert np.abs(q - ref).max() / scale < 0.05  # int8 weight tolerance
+
+    pipe = TTSPipeline(quantize=True)
+    res = pipe.generate("quantized hello", GenerationOptions(max_new_tokens=6, seed=2))
+    assert res.audio.size > 0 and np.isfinite(res.audio).all()
+
+
+def test_tts_multicode_quantized_heads_match_greedy():
+    import jax
+    import jax.numpy as jnp
+
+    from whisperkit_tpu.models.qwen3_tts import (
+        TINY_TTS_DIMS,
+        init_tts_params,
+        multicode_forward,
+    )
+    from whisperkit_tpu.ops.quant import quantize_tts_params
+
+    params = init_tts_params(jax.random.PRNGKey(0), TINY_TTS_DIMS, dtype=jnp.float32)
+    qparams = quantize_tts_params(params, min_size=1)
+    hidden = jax.random.normal(jax.random.PRNGKey(3), (2, TINY_TTS_DIMS.d_model))
+    a = np.asarray(
+        multicode_forward(params, hidden, jax.random.PRNGKey(0), jnp.float32(0.0))
+    )
+    b = np.asarray(
+        multicode_forward(qparams, hidden, jax.random.PRNGKey(0), jnp.float32(0.0))
+    )
+    # greedy argmax codes should mostly agree at int8 precision
+    assert (a == b).mean() > 0.8

@@ -167,6 +167,17 @@ def init_code_kv_cache(dims: Qwen3TTSDims, batch: int, max_seq: Optional[int] = 
     return jnp.zeros(shape, jnp.bfloat16), jnp.zeros(shape, jnp.bfloat16)
 
 
+
+def _mm(x, w):
+    """x @ w, dispatching on W8A16 dicts ({"w_q" int8, "scale"}) — the
+    dequant broadcasts on the trailing axes and XLA fuses it into the
+    matmul's operand read, so only int8 bytes cross HBM (ops/quant.py;
+    reference ships W8A16 TTS components, Qwen3Config.swift:106-112)."""
+    if isinstance(w, dict) and "w_q" in w:
+        w = w["w_q"].astype(x.dtype) * w["scale"].astype(x.dtype)
+    return x @ w
+
+
 def code_decoder_forward(
     params: PyTree,
     embeds: jnp.ndarray,  # [B, T, D] input embeddings (text or code)
@@ -209,9 +220,9 @@ def code_decoder_forward(
     def block(x, layer):
         bp, kk, vv = layer
         hthin = rms_norm(x, bp["ln1"])
-        q = (hthin @ bp["wq"]).reshape(b, t, h, dh)
-        k = (hthin @ bp["wk"]).reshape(b, t, kvh, dh)
-        v = (hthin @ bp["wv"]).reshape(b, t, kvh, dh)
+        q = _mm(hthin, bp["wq"]).reshape(b, t, h, dh)
+        k = _mm(hthin, bp["wk"]).reshape(b, t, kvh, dh)
+        v = _mm(hthin, bp["wv"]).reshape(b, t, kvh, dh)
         q = rms_norm(q, bp["qnorm"])
         k = rms_norm(k, bp["knorm"])
         q = _rope(q, positions, dims.rope_theta)
@@ -233,10 +244,10 @@ def code_decoder_forward(
         probs = jax.nn.softmax(scores + mask, axis=-1).astype(vfull.dtype)
         out = jnp.einsum("bhts,bhsd->bhtd", probs, vfull)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
-        x = x + out @ bp["wo"]
+        x = x + _mm(out, bp["wo"])
 
         hthin = rms_norm(x, bp["ln2"])
-        x = x + (jax.nn.silu(hthin @ bp["w_gate"]) * (hthin @ bp["w_up"])) @ bp["w_down"]
+        x = x + _mm(jax.nn.silu(_mm(hthin, bp["w_gate"])) * _mm(hthin, bp["w_up"]), bp["w_down"])
         return x, (kk, vv)
 
     def scan_block(x, layer):
@@ -244,7 +255,7 @@ def code_decoder_forward(
 
     x, (kv_k, kv_v) = jax.lax.scan(scan_block, x, (params["blocks"], kv_k, kv_v))
     hidden = rms_norm(x, params["ln_f"])
-    logits = (hidden @ params["code0_head"]).astype(jnp.float32)
+    logits = _mm(hidden, params["code0_head"]).astype(jnp.float32)
     return logits, hidden, (kv_k, kv_v)
 
 
@@ -258,10 +269,18 @@ def multicode_forward(
     """
     b, d = hidden.shape
 
+    mc_heads = params["mc_heads"]
+
     def head_step(carry, i):
         state, key = carry
+        if isinstance(mc_heads, dict):  # W8A16: dequant only head i's slice
+            w_i = mc_heads["w_q"][:, i].astype(state.dtype) * mc_heads[
+                "scale"
+            ][i].astype(state.dtype)
+        else:
+            w_i = mc_heads[:, i]
         logits = jnp.einsum(
-            "bd,dv->bv", state, params["mc_heads"][:, i], preferred_element_type=jnp.float32
+            "bd,dv->bv", state, w_i, preferred_element_type=jnp.float32
         )
         key, sub = jax.random.split(key)
         top_vals, top_idx = jax.lax.top_k(logits, top_k)

@@ -83,3 +83,36 @@ def quantize_whisper_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
 def quantized_size_bytes(params: PyTree) -> int:
     leaves = jax.tree.leaves(params)
     return sum(x.size * x.dtype.itemsize for x in leaves if hasattr(x, "size"))
+
+
+# Qwen3-TTS stacked-block linear keys ([L, in, out]); embeddings, norms and
+# the f32 vocoder convs stay unquantized (reference W8A16 recipe,
+# Qwen3Config.swift:106-112).
+_TTS_BLOCK_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_tts_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
+    """W8A16-quantize a Qwen3-TTS param tree: every transformer linear
+    (stacked per layer), the code0 head, and the 15 RVQ head classifiers."""
+    out = dict(params)
+
+    blocks = dict(params["blocks"])
+    for key in _TTS_BLOCK_KEYS:
+        w = blocks[key]  # [L, in, out]
+        if hasattr(w, "size") and w.size >= min_size:
+            q = jax.vmap(quantize_weight)(w)
+            blocks[key] = {"w_q": q["w_q"], "scale": q["scale"]}
+    out["blocks"] = blocks
+
+    head = params["code0_head"]
+    if hasattr(head, "size") and head.size >= min_size:
+        out["code0_head"] = quantize_weight(head)
+
+    mh = params["mc_heads"]  # [D, 15, V]
+    if hasattr(mh, "size") and mh.size >= min_size:
+        m32 = mh.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(m32), axis=0) / 127.0, 1e-8)  # [15, V]
+        w_q = jnp.clip(jnp.round(m32 / scale[None]), -127, 127).astype(jnp.int8)
+        out["mc_heads"] = {"w_q": w_q, "scale": scale.astype(jnp.bfloat16)}
+
+    return out

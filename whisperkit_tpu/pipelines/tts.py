@@ -248,6 +248,7 @@ class TTSPipeline:
         params=None,
         tokenizer=None,
         seed: int = 0,
+        quantize: bool = False,
     ):
         self.dims = dims
         self.params = (
@@ -255,6 +256,12 @@ class TTSPipeline:
             if params is not None
             else init_tts_params(jax.random.PRNGKey(seed), dims)
         )
+        if quantize:
+            # W8A16 (reference ships quantized TTS components,
+            # Qwen3Config.swift:106-112)
+            from whisperkit_tpu.ops.quant import quantize_tts_params
+
+            self.params = quantize_tts_params(self.params)
         self.tokenizer = tokenizer or ByteFallbackTokenizer(dims.text_vocab)
         self.prompt_cache = TTSPromptCache()
         self.chunker = TextChunker()
