@@ -141,6 +141,7 @@ class BatchScheduler:
                     job.future.set_result(
                         self.pipeline.transcribe(job.audio, job.options)
                     )
+                    self.jobs_run += 1
                 except Exception as e:
                     job.future.set_exception(e)
                 continue
