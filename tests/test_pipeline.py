@@ -180,3 +180,33 @@ def test_batch_api_mixes_short_and_long(pipe):
     assert not isinstance(out[0], Exception)
     assert not isinstance(out[1], Exception)
     assert out[1].timings.input_audio_seconds == pytest.approx(35.0, abs=0.2)
+
+
+def test_transcribe_batch_parallel_file_loading(pipe, tmp_path):
+    """Multiple path items load through the thread pool (reference:
+    TaskGroup loadAudio, AudioProcessor.swift:352-371), preserving order
+    and per-item errors."""
+    import wave
+
+    def write(path, seconds, freq):
+        sr = 16000
+        t = np.arange(int(seconds * sr)) / sr
+        pcm = (np.sin(2 * np.pi * freq * t) * 0.3 * 32767).astype(np.int16)
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return path
+
+    p1 = write(tmp_path / "a.wav", 1.0, 220)
+    p2 = write(tmp_path / "b.wav", 2.0, 440)
+    arr = np.random.default_rng(0).standard_normal(16000).astype(np.float32) * 0.1
+    out = pipe.transcribe(
+        [str(p1), str(p2), "/nonexistent/x.wav", arr], DecodingOptions(**OPTS)
+    )
+    assert len(out) == 4
+    assert not isinstance(out[0], Exception)
+    assert not isinstance(out[1], Exception)
+    assert isinstance(out[2], Exception)
+    assert not isinstance(out[3], Exception)

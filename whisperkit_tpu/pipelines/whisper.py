@@ -510,14 +510,35 @@ class WhisperPipeline:
         """
         loaded: list = [None] * len(items)
         results: list = [None] * len(items)
-        for i, item in enumerate(items):
-            try:
-                if isinstance(item, (str, Path)):
-                    loaded[i] = load_audio(item)
-                else:
-                    loaded[i] = np.asarray(item, np.float32)
-            except Exception as e:
-                results[i] = e
+
+        # parallel file loading (reference: TaskGroup loadAudio(at:),
+        # AudioProcessor.swift:352-371) — decode/resample is ffmpeg+host
+        # work, so a thread pool overlaps the IO; arrays pass straight
+        # through
+        def load_one(item):
+            if isinstance(item, (str, Path)):
+                return load_audio(item)
+            return np.asarray(item, np.float32)
+
+        paths = [i for i, it in enumerate(items) if isinstance(it, (str, Path))]
+        if len(paths) > 1:
+            import concurrent.futures
+
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(8, len(paths))
+            ) as pool:
+                futures = {i: pool.submit(load_one, items[i]) for i in paths}
+            for i, item in enumerate(items):
+                try:
+                    loaded[i] = futures[i].result() if i in futures else load_one(item)
+                except Exception as e:
+                    results[i] = e
+        else:
+            for i, item in enumerate(items):
+                try:
+                    loaded[i] = load_one(item)
+                except Exception as e:
+                    results[i] = e
 
         short_idx = [
             i for i, a in enumerate(loaded)
