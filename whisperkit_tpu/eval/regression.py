@@ -129,3 +129,56 @@ def run_regression(
             "\n".join(s.to_json() for s in stats) + "\n", encoding="utf-8"
         )
     return stats
+
+
+def main(argv=None) -> int:
+    """CLI: local checkpoint + local dataset folder → WER/perf stats.
+
+    python -m whisperkit_tpu.eval.regression <model_folder> <dataset_dir>
+        [--out stats.jsonl] [--language en] [--max-files N]
+
+    The dataset folder holds audio files with sibling same-stem `.txt`
+    reference transcripts (offline equivalent of the reference's HF
+    `whisperkit-test-data` datasets, RegressionTests.swift:33-38). The
+    model folder is an HF-format Whisper checkpoint (config.json +
+    model.safetensors + tokenizer files) placed locally — the shipped-
+    weights story for zero-egress deployments (docs/PARITY.md).
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("model_folder")
+    ap.add_argument("dataset_dir")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--language", default=None)
+    ap.add_argument("--max-files", type=int, default=None)
+    ap.add_argument("--chunking", default="vad", choices=["none", "vad"])
+    args = ap.parse_args(argv)
+
+    from whisperkit_tpu.core.configurations import WhisperConfig
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    pipe = WhisperPipeline(WhisperConfig(model_folder=args.model_folder))
+    stats = run_regression(
+        pipe,
+        args.dataset_dir,
+        model_name=Path(args.model_folder).name,
+        options=DecodingOptions(
+            language=args.language, chunking_strategy=args.chunking
+        ),
+        max_files=args.max_files,
+        out_path=args.out,
+    )
+    wers = [s.wer for s in stats if s.wer is not None]
+    summary = {
+        "files": len(stats),
+        "avg_wer": sum(wers) / len(wers) if wers else None,
+        "avg_tps": sum(s.tokens_per_second for s in stats) / max(len(stats), 1),
+        "all_passed_tps_floor": all(s.passed_tps_floor for s in stats),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
