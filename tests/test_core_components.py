@@ -179,6 +179,7 @@ def test_detect_variant_turbo_distil():
     assert detect_variant(51864, 384) == "tiny.en"
 
 
+@pytest.mark.slow
 def test_tensor_parallel_dryrun():
     """Megatron-split params over tp=2 × dp=4 compile and run (XLA inserts
     the collectives) on the virtual 8-device mesh."""

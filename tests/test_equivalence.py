@@ -55,6 +55,7 @@ BASE = dict(
 )
 
 
+@pytest.mark.slow
 def test_vad_batched_matches_sequential_seek(pipe):
     """Greedy t=0 decoding is deterministic, so both paths must produce the
     same text per chunk region and time-compatible segments."""
@@ -100,6 +101,7 @@ def test_vad_batched_identical_when_chunks_align(pipe):
         assert a.tokens == b.tokens
 
 
+@pytest.mark.slow
 def test_scheduler_mixed_option_concurrent_stress(pipe):
     """Continuous-batching scheduler under concurrent mixed-option load:
     every request returns its own result, grouped only with compatible

@@ -135,11 +135,12 @@ def apply_timestamp_rules(
 def _apply_ts_prob_rule(logits: jnp.ndarray, is_ts: jnp.ndarray, sp: SpecialTokens) -> jnp.ndarray:
     import jax
 
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    # the softmax normalizer cancels on both sides of the comparison, so
+    # raw logits suffice — no per-step log_softmax over [B, V]
     ts_logprob = jax.scipy.special.logsumexp(
-        jnp.where(is_ts[None, :], logprobs, NEG_INF), axis=-1
+        jnp.where(is_ts[None, :], logits, NEG_INF), axis=-1
     )
-    max_text = jnp.where(is_ts[None, :], NEG_INF, logprobs).max(axis=-1)
+    max_text = jnp.where(is_ts[None, :], NEG_INF, logits).max(axis=-1)
     force_ts = ts_logprob > max_text
     return jnp.where(force_ts[:, None] & ~is_ts[None, :], NEG_INF, logits)
 

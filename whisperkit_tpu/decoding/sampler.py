@@ -22,19 +22,25 @@ def sample_token(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B] i32, logprob-of-token [B] f32).
 
-    Both the greedy and stochastic branches are computed (they are cheap next
-    to the decoder matmuls) and selected with `where`, keeping the graph free
-    of data-dependent control flow.
+    The stochastic branch (sort-based top_k over the 51k vocab — the
+    single most expensive non-matmul op in the loop) runs under a
+    `lax.cond`, so greedy decoding (temperature 0, the production ladder's
+    first rung) pays only an argmax per step.
     """
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
 
-    greedy = jnp.argmax(logits, axis=-1)
+    def greedy_branch(_key):
+        return jnp.argmax(logits, axis=-1)
 
-    top_vals, top_idx = jax.lax.top_k(logits, top_k)  # [B, K]
-    safe_t = jnp.maximum(temperature, 1e-4)
-    choice = jax.random.categorical(key, top_vals / safe_t, axis=-1)  # [B]
-    sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=1)[:, 0]
+    def stochastic_branch(key):
+        top_vals, top_idx = jax.lax.top_k(logits, top_k)  # [B, K]
+        safe_t = jnp.maximum(temperature, 1e-4)
+        choice = jax.random.categorical(key, top_vals / safe_t, axis=-1)  # [B]
+        return jnp.take_along_axis(top_idx, choice[:, None], axis=1)[:, 0]
 
-    token = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
-    logprob = jnp.take_along_axis(logprobs, token[:, None], axis=1)[:, 0]
+    token = jax.lax.cond(
+        temperature > 0, stochastic_branch, greedy_branch, key
+    ).astype(jnp.int32)
+    # logprob of the chosen token without materializing full log_softmax
+    norm = jax.scipy.special.logsumexp(logits, axis=-1)
+    logprob = jnp.take_along_axis(logits, token[:, None], axis=1)[:, 0] - norm
     return token, logprob
