@@ -129,3 +129,61 @@ def test_tts_multicode_quantized_heads_match_greedy():
     )
     # greedy argmax codes should mostly agree at int8 precision
     assert (a == b).mean() > 0.8
+
+
+def test_cross_attend_int8_matches_bf16():
+    """int8 cross-attention (serving mode) must track the bf16 path within
+    int8 tolerance on controlled inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisperkit_tpu.models.whisper import _attend, _cross_attend
+    from whisperkit_tpu.ops.quant import quantize_cross_kv
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    ck = jax.random.normal(k1, (1, 2, 4, 64, 16), jnp.float32)  # [L,B,H,S,Dh]
+    cv = jax.random.normal(k2, (1, 2, 4, 64, 16), jnp.float32)
+    cq = jax.random.normal(k3, (2, 4, 1, 16), jnp.float32)
+
+    ref = np.asarray(_attend(cq, ck[0], cv[0]))
+    ckq, cvq = quantize_cross_kv(ck, cv)
+    got = np.asarray(
+        _cross_attend(
+            cq,
+            {"q8": ckq["q8"][0], "scale": ckq["scale"][0]},
+            {"q8": cvq["q8"][0], "scale": cvq["scale"][0]},
+            capture_probs=False,
+        )
+    )
+    denom = np.abs(ref).mean()
+    assert np.abs(got - ref).mean() / denom < 0.05
+
+
+def test_pipeline_quantized_cross_kv_end_to_end():
+    import jax
+
+    from whisperkit_tpu.core.configurations import (
+        ComputeOptions,
+        DecodingOptions,
+        WhisperConfig,
+    )
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    pipe = WhisperPipeline(
+        WhisperConfig(compute_options=ComputeOptions(quantize_cross_kv=True)),
+        dims=dims,
+        params=params,
+    )
+    audio = np.random.default_rng(0).standard_normal(16000 * 3).astype(np.float32) * 0.1
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(
+            language="en", sample_length=6, temperature_fallback_count=0,
+            first_token_log_prob_threshold=None, no_speech_threshold=None,
+            logprob_threshold=None, compression_ratio_threshold=None,
+        ),
+    )
+    assert res.segments and np.isfinite(res.segments[0].avg_logprob)

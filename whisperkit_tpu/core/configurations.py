@@ -105,6 +105,10 @@ class ComputeOptions:
     logits_dtype: str = "float32"
     quantization: Optional[str] = None  # "w8a16" = int8 linear weights
     # (the reference's quantized model variants, fastlane/Fastfile:26-55)
+    quantize_cross_kv: bool = False  # int8 decode cross-KV. Isolated
+    # cross-attention measures -33%/step, but inside the current while_loop
+    # it's NEUTRAL (the loop is not cross-KV-bound yet) — opt-in, kept for
+    # when the remaining loop overhead is removed (docs/BENCHMARKS.md)
     mesh_axes: tuple[str, ...] = ("dp", "tp")
     dp_size: Optional[int] = None  # None = infer from devices
     tp_size: int = 1

@@ -116,3 +116,19 @@ def quantize_tts_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
         out["mc_heads"] = {"w_q": w_q, "scale": scale.astype(jnp.bfloat16)}
 
     return out
+
+
+def quantize_cross_kv(cross_k: jnp.ndarray, cross_v: jnp.ndarray):
+    """int8-quantize per-window cross-attention K/V [L,B,H,S,Dh] with
+    per-channel (Dh) scales — the decode loop's bandwidth floor; consumed by
+    models/whisper._cross_attend's int8 MXU path."""
+
+    def q(x):
+        x32 = x.astype(jnp.float32)
+        scale = jnp.maximum(
+            jnp.abs(x32).max(axis=-2, keepdims=True) / 127.0, 1e-8
+        )
+        q8 = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+        return {"q8": q8, "scale": scale}
+
+    return q(cross_k), q(cross_v)

@@ -324,6 +324,16 @@ class WhisperPipeline:
             else None
         )
 
+        # opt-in serving mode: int8 cross-KV (the decode bandwidth floor);
+        # greedy path only — beam search tiles the raw arrays
+        if (
+            self.config.compute_options.quantize_cross_kv
+            and options.beam_size <= 1
+        ):
+            from whisperkit_tpu.ops.quant import quantize_cross_kv
+
+            cross_k, cross_v = quantize_cross_kv(cross_k, cross_v)
+
         # DecodingCache (Models.swift:325-339) made sound for Whisper: the
         # prompt pass has no sampling, so every rung of the temperature
         # ladder reuses ONE prefill instead of re-running it.
