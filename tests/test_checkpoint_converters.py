@@ -285,3 +285,97 @@ def test_wespeaker_converter_full_resnet34_shapes():
     fbank = jnp.zeros((1, 200, 80), jnp.float32)
     emb = wespeaker_resnet_forward(params, fbank)
     assert emb.shape == (1, 256)
+
+
+# ---------------------------------------------------------------------------
+# Kaldi fbank + masked embedding + full pyannet-backend pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_kaldi_fbank_properties():
+    from whisperkit_tpu.ops.fbank import kaldi_fbank
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = np.sin(2 * np.pi * 1000.0 * t)[None, :] * 0.5
+    fb = np.asarray(kaldi_fbank(jnp.asarray(tone), mean_norm=False))
+    assert fb.shape == (1, 1 + (sr - 400) // 160, 80)
+    assert np.isfinite(fb).all()
+    # energy concentrates at the mel bin of 1 kHz: compare against a 3 kHz tone
+    tone3 = np.sin(2 * np.pi * 3000.0 * t)[None, :] * 0.5
+    fb3 = np.asarray(kaldi_fbank(jnp.asarray(tone3), mean_norm=False))
+    assert fb.mean(1).argmax() < fb3.mean(1).argmax()  # higher freq → higher bin
+    # mean_norm subtracts the per-utterance mean
+    fbn = np.asarray(kaldi_fbank(jnp.asarray(tone), mean_norm=True))
+    np.testing.assert_allclose(fbn.mean(1), 0.0, atol=1e-4)
+
+
+def test_wespeaker_masked_embedding_selects_frames():
+    """Masked embedding must depend only on the ACTIVE frames: compacted
+    masking ≈ cropping (same frames, same stats)."""
+    from whisperkit_tpu.models.pyannet import (
+        convert_wespeaker_resnet34,
+        wespeaker_embed_masked,
+    )
+    from whisperkit_tpu.models import pyannet as pn
+
+    torch.manual_seed(0)
+    model = _TorchWeSpeakerResNet().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(model, 3)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    orig = pn.RESNET34_BLOCKS
+    pn.RESNET34_BLOCKS = {"layer1": 2, "layer2": 2, "layer3": 2, "layer4": 2}
+    try:
+        params = convert_wespeaker_resnet34(sd)
+    finally:
+        pn.RESNET34_BLOCKS = orig
+
+    rng = np.random.RandomState(0)
+    fb = rng.randn(1, 64, 24).astype(np.float32)
+    # speaker active only in the first 32 frames
+    mask = np.zeros((1, 64), np.float32)
+    mask[0, :32] = 1.0
+    e_masked = np.asarray(wespeaker_embed_masked(params, jnp.asarray(fb), jnp.asarray(mask)))
+    # corrupt the INACTIVE frames: embedding must not change
+    fb2 = fb.copy()
+    fb2[0, 32:] += 100.0
+    e_masked2 = np.asarray(wespeaker_embed_masked(params, jnp.asarray(fb2), jnp.asarray(mask)))
+    np.testing.assert_allclose(e_masked, e_masked2, atol=1e-4)
+
+
+def test_diarize_pipeline_pyannet_backend_end_to_end(tmp_path):
+    """Real converted checkpoints drive the full diarization pipeline:
+    torch PyanNet + WeSpeaker ResNet saved to disk → from_pretrained
+    detects/converts them → diarize() produces sane segments."""
+    from whisperkit_tpu.pipelines.diarize import DiarizationOptions, DiarizePipeline
+
+    torch.manual_seed(1)
+    seg_model = _TorchPyanNet().eval()
+    torch.save(
+        {"state_dict": {"model." + k: v for k, v in seg_model.state_dict().items()}},
+        tmp_path / "segmentation-3.0.ckpt",
+    )
+    emb_model = _TorchWeSpeakerResNet(
+        m_channels=8, blocks=(2, 2, 2, 2), n_mels=80, emb=64
+    ).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(emb_model, 5)
+    torch.save(emb_model.state_dict(), tmp_path / "wespeaker-resnet34.bin")
+
+    from whisperkit_tpu.models import pyannet as pn
+
+    orig = pn.RESNET34_BLOCKS
+    pn.RESNET34_BLOCKS = {"layer1": 2, "layer2": 2, "layer3": 2, "layer4": 2}
+    try:
+        pipe = DiarizePipeline.from_pretrained(str(tmp_path))
+        assert pipe.segmenter_backend == "pyannet"
+        assert pipe.embedder_backend == "resnet"
+        rng = np.random.RandomState(0)
+        audio = (rng.randn(16000 * 12) * 0.1).astype(np.float32)
+        result = pipe.diarize(audio, DiarizationOptions(min_active_offset=0.2))
+        assert pipe.timings.chunk_count >= 1
+        for seg in result.segments:
+            assert 0.0 <= seg.start <= seg.end <= 12.5
+    finally:
+        pn.RESNET34_BLOCKS = orig

@@ -417,3 +417,52 @@ def load_wespeaker_resnet34(path) -> PyTree:
             }
             break
     return convert_wespeaker_resnet34(sd)
+
+
+# ---------------------------------------------------------------------------
+# Masked embedding (speaker-selective, fixed shapes)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def wespeaker_embed_masked(
+    params: PyTree,
+    fbank: jnp.ndarray,  # [B, T, n_mels]
+    frame_mask: jnp.ndarray,  # [B, T] 1.0 at the target speaker's frames
+) -> jnp.ndarray:
+    """Per-speaker embedding with fixed shapes: active frames are compacted
+    to the front (a stable argsort — the jit-safe analogue of pyannote's
+    per-speaker cropping), CMN is computed over active frames only, and the
+    statistics pooling masks out the padded tail. Returns [B, E],
+    unnormalized (cluster code L2-normalizes).
+    """
+    b, t, m = fbank.shape
+    active = frame_mask > 0.5
+    order = jnp.argsort(~active, axis=1, stable=True)  # active first
+    fb = jnp.take_along_axis(fbank, order[..., None], axis=1)
+    n_active = active.sum(axis=1)  # [B]
+
+    # cepstral mean over ACTIVE frames only (kaldi_fbank skips mean_norm
+    # when masks are in play)
+    pos = jnp.arange(t)[None, :]
+    valid = pos < n_active[:, None]  # [B, T] (post-compaction)
+    denom = jnp.maximum(n_active, 1)[:, None, None]
+    mean = (fb * valid[..., None]).sum(axis=1, keepdims=True) / denom
+    fb = jnp.where(valid[..., None], fb - mean, 0.0)
+
+    # ResNet trunk (stride 8 in time) then masked TSTP
+    x = fb.transpose(0, 2, 1)[:, None]  # [B, 1, n_mels, T]
+    x = jax.nn.relu(_conv2d_same(x, params["conv1"]["w"], params["conv1"]["b"], 1))
+    for layer in ("layer1", "layer2", "layer3", "layer4"):
+        for bp in params[layer]:
+            x = _basic_block(x, bp)
+    b_, c, h, t8 = x.shape
+    feat = x.reshape(b_, c * h, t8)
+    t_valid = jnp.maximum(jnp.ceil(n_active / 8).astype(jnp.int32), 1)  # [B]
+    pool_mask = jnp.arange(t8)[None, :] < t_valid[:, None]  # [B, T8]
+    w = pool_mask[:, None, :].astype(feat.dtype)
+    denom8 = jnp.maximum(t_valid, 1)[:, None].astype(feat.dtype)
+    mean8 = (feat * w).sum(-1) / denom8
+    var8 = ((feat - mean8[..., None]) ** 2 * w).sum(-1) / denom8
+    stats = jnp.concatenate([mean8, jnp.sqrt(jnp.clip(var8, 1e-7))], axis=-1)
+    return stats @ params["seg_1"]["w"] + params["seg_1"]["b"]

@@ -73,10 +73,25 @@ class PyannoteConfig:
     """Reference: PyannoteConfig (PyannoteConfig.swift:11-41)."""
 
     stride_seconds: float = 15.0  # chunk overlap stride (fullRedundancy)
+    pyannet_stride_seconds: float = 5.0  # real PyanNet uses 10 s windows
     segmenter_dims: SegmenterDims = dataclasses.field(default_factory=SegmenterDims)
     embedder_dims: EmbedderDims = dataclasses.field(default_factory=EmbedderDims)
     clustering: VBxClusteringConfig = dataclasses.field(default_factory=VBxClusteringConfig)
     seed: int = 0
+
+
+PYANNET_CHUNK_SAMPLES = 160_000  # 10 s windows (pyannote/segmentation-3.0)
+
+
+def _pyannet_frames(samples: int) -> int:
+    """PyanNet frame count: sinc conv (k=251, stride 10) then 3× (pool 3 +
+    valid k=5 conv after the first block)."""
+    t = (samples - 251) // 10 + 1
+    t //= 3
+    t = t - 4
+    t //= 3
+    t = t - 4
+    return t // 3
 
 
 class DiarizePipeline:
@@ -102,14 +117,58 @@ class DiarizePipeline:
             if embedder_params is not None
             else init_embedder(k2, self.config.embedder_dims)
         )
+        # real converted checkpoints (models/pyannet.py) are detected by
+        # their structure; the fast conv architectures stay the random-init
+        # default (docs/PARITY.md "shipped-weights story")
+        self.segmenter_backend = (
+            "pyannet" if "sinc" in self.segmenter_params else "conv"
+        )
+        self.embedder_backend = (
+            "resnet" if "layer1" in self.embedder_params else "conv"
+        )
         self.timings = DiarizationTimings()
 
     @classmethod
     def from_pretrained(cls, model_folder: Optional[str] = None, **kwargs):
-        """Load converted checkpoint params when available; random init
-        otherwise (no public TPU pyannote conversion exists yet)."""
+        """Load checkpoint params when available; random init otherwise.
+
+        Recognized layouts inside `model_folder` (docs/PARITY.md
+        "shipped-weights story"):
+          * real torch checkpoints — `segmentation*.{ckpt,bin,safetensors}`
+            (pyannote/segmentation-3.0 PyanNet) and
+            `*wespeaker*/embedder*.{bin,safetensors,ckpt}` (ResNet34),
+            converted via models/pyannet.py; or
+          * pre-converted npz pairs `segmenter.npz` / `embedder.npz`.
+        """
         if model_folder:
             folder = Path(model_folder)
+
+            def find(*globs):
+                for g in globs:
+                    hits = sorted(folder.glob(g))
+                    if hits:
+                        return hits[0]
+                return None
+
+            seg_ckpt = find(
+                "segmentation*.ckpt", "segmentation*.bin", "segmentation*.safetensors",
+                "pyannet*.ckpt", "pyannet*.bin",
+            )
+            emb_ckpt = find(
+                "*wespeaker*.bin", "*wespeaker*.safetensors", "*wespeaker*.ckpt",
+                "embedder*.bin", "embedder*.safetensors", "embedder*.ckpt",
+            )
+            if seg_ckpt is not None and emb_ckpt is not None:
+                from whisperkit_tpu.models.pyannet import (
+                    load_pyannote_segmentation,
+                    load_wespeaker_resnet34,
+                )
+
+                return cls(
+                    segmenter_params=load_pyannote_segmentation(seg_ckpt),
+                    embedder_params=load_wespeaker_resnet34(emb_ckpt),
+                    **kwargs,
+                )
             seg = folder / "segmenter.npz"
             emb = folder / "embedder.npz"
             if seg.exists() and emb.exists():
@@ -148,19 +207,24 @@ class DiarizePipeline:
             audio = audio[s:e]
 
         sdims = self.config.segmenter_dims
-        stride = int(self.config.stride_seconds * SAMPLE_RATE)
+        pyannet = self.segmenter_backend == "pyannet"
+        chunk_samples = PYANNET_CHUNK_SAMPLES if pyannet else CHUNK_SAMPLES
+        stride_s = (
+            self.config.pyannet_stride_seconds if pyannet else self.config.stride_seconds
+        )
+        stride = int(stride_s * SAMPLE_RATE)
         chunk_starts = list(range(0, max(len(audio) - 1, 1), stride))
         # drop trailing strided chunks whose audio span is fully covered by
         # the previous chunk (they'd contribute only zero padding)
         chunk_starts = [
             c
             for c in chunk_starts
-            if c == 0 or c - stride + CHUNK_SAMPLES < len(audio)
+            if c == 0 or c - stride + chunk_samples < len(audio)
         ]
 
         chunks = np.stack(
             [
-                _pad_to(audio[c : c + CHUNK_SAMPLES], CHUNK_SAMPLES)
+                _pad_to(audio[c : c + chunk_samples], chunk_samples)
                 for c in chunk_starts
             ]
         )
@@ -169,17 +233,30 @@ class DiarizePipeline:
 
         # ---- segmenter (one batched call) ---------------------------------
         t0 = time.perf_counter()
-        seg_out = segmenter_forward(self.segmenter_params, jnp.asarray(chunks), sdims)
-        activity = np.asarray(seg_out["speaker_activity"])  # [C, F, S]
+        if pyannet:
+            from whisperkit_tpu.models.pyannet import (
+                powerset_to_activity,
+                pyannet_forward,
+            )
+
+            log_probs = pyannet_forward(self.segmenter_params, jnp.asarray(chunks))
+            activity = np.asarray(powerset_to_activity(log_probs))  # [C, F, 3]
+            frames = activity.shape[1]
+            n_slots = activity.shape[2]
+        else:
+            seg_out = segmenter_forward(
+                self.segmenter_params, jnp.asarray(chunks), sdims
+            )
+            activity = np.asarray(seg_out["speaker_activity"])  # [C, F, S]
+            frames = sdims.frames_per_chunk
+            n_slots = sdims.n_local_speakers
+        frame_sec = chunk_samples / SAMPLE_RATE / frames
         self.timings.segmenter_seconds = time.perf_counter() - t0
         if progress:
             progress(0.4)
 
         # ---- embedder (one batched call over (chunk, slot) pairs) ---------
         t0 = time.perf_counter()
-        frames = sdims.frames_per_chunk
-        frame_sec = CHUNK_SAMPLES / SAMPLE_RATE / frames
-        n_slots = sdims.n_local_speakers
         active = activity > options.min_activity_threshold  # [C, F, S]
 
         pairs = [
@@ -190,7 +267,28 @@ class DiarizePipeline:
         ]
         embeddings = np.zeros((0, self.config.embedder_dims.embedding_dim), np.float32)
         ratios: list[float] = []
-        if pairs:
+        if pairs and self.embedder_backend == "resnet":
+            from whisperkit_tpu.models.pyannet import wespeaker_embed_masked
+            from whisperkit_tpu.ops.fbank import kaldi_fbank
+
+            fbanks = np.asarray(
+                kaldi_fbank(jnp.asarray(chunks), mean_norm=False)
+            )  # [C, F_fb, 80]; CMN over active frames happens in the embedder
+            f_fb = fbanks.shape[1]
+            fb = jnp.asarray(np.stack([fbanks[c] for c, _ in pairs]))
+            # map each 10 ms fbank frame onto the segmenter frame grid
+            seg_idx = np.minimum(
+                (np.arange(f_fb) * frames // f_fb), frames - 1
+            )
+            masks = np.stack(
+                [activity[c, seg_idx, s] for c, s in pairs]
+            ).astype(np.float32)
+            emb = np.asarray(
+                wespeaker_embed_masked(self.embedder_params, fb, jnp.asarray(masks))
+            )
+            embeddings = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+            ratios = [float(active[c, :, s].mean()) for c, s in pairs]
+        elif pairs:
             mel_frames = 3000  # 30 s of 10 ms mel frames
             fbanks = log_mel_spectrogram(
                 jnp.asarray(chunks), n_mels=self.config.embedder_dims.n_mels
