@@ -266,3 +266,83 @@ def test_server_responses_match_schema(pipe, wav_bytes):
                 model.model_validate(await r.json())
 
     asyncio.run(go())
+
+
+async def _post_multipart(client, url, fields, audio_bytes, fname="a.wav"):
+    import aiohttp
+
+    data = aiohttp.FormData()
+    for k, v in fields.items():
+        data.add_field(k, v)
+    data.add_field("file", audio_bytes, filename=fname)
+    return await client.post(url, data=data)
+
+
+def test_server_translations_task_reflected_and_rate_limit(tmp_path):
+    """verbose_json reflects task=translate; saturating the concurrency
+    limiter returns 429 (ROADMAP server items)."""
+    import asyncio
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    aiohttp = _pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+
+    jax = _pytest.importorskip("jax")
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+    from whisperkit_tpu.server.openai_api import create_app
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    pipe = WhisperPipeline(dims=dims, params=init_params(jax.random.PRNGKey(0), dims))
+
+    buf = io.BytesIO()
+    pcm = (np.random.RandomState(0).randn(16000) * 0.1 * 32767).astype(np.int16)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    wav_bytes = buf.getvalue()
+
+    async def run():
+        app = create_app(pipe, batching=False, max_concurrent_requests=1)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await _post_multipart(
+                client, "/v1/audio/translations",
+                {"model": "whisper-1", "response_format": "verbose_json"},
+                wav_bytes,
+            )
+            assert resp.status == 200
+            payload = await resp.json()
+            assert payload["task"] == "translate"
+
+            # saturate the single slot with a slow request, expect 429 next
+            t1 = asyncio.create_task(
+                _post_multipart(
+                    client, "/v1/audio/transcriptions",
+                    {"model": "whisper-1"}, wav_bytes,
+                )
+            )
+            await asyncio.sleep(0.15)  # let t1 claim the semaphore
+            r2 = await _post_multipart(
+                client, "/v1/audio/transcriptions",
+                {"model": "whisper-1"}, wav_bytes,
+            )
+            assert r2.status == 429
+            body = await r2.json()
+            assert body["error"]["type"] == "rate_limit_exceeded"
+            r1 = await t1
+            assert r1.status == 200
+            # health stays reachable even at saturation
+            h = await client.get("/health")
+            assert h.status == 200
+        finally:
+            await client.close()
+
+    asyncio.run(run())

@@ -29,7 +29,7 @@ from whisperkit_tpu.core.configurations import DecodingOptions, DecodingTask
 from whisperkit_tpu.core.logging import logging
 
 
-def _result_payload(result, response_format: str):
+def _result_payload(result, response_format: str, task: str = "transcribe"):
     from whisperkit_tpu.text.writers import WriteSRT, WriteVTT
 
     if response_format == "text":
@@ -40,7 +40,7 @@ def _result_payload(result, response_format: str):
         return WriteVTT().format(result), "text/plain"
     if response_format == "verbose_json":
         payload = {
-            "task": "transcribe",
+            "task": task,
             "language": result.language,
             "duration": result.timings.input_audio_seconds,
             "text": result.text,
@@ -70,11 +70,37 @@ def _result_payload(result, response_format: str):
     return json.dumps({"text": result.text}), "application/json"
 
 
-def create_app(pipeline, *, batching: bool = True, max_batch: int = 16):
+def create_app(
+    pipeline,
+    *,
+    batching: bool = True,
+    max_batch: int = 16,
+    max_concurrent_requests: int = 64,
+):
     """`batching=True` routes non-streaming requests through the continuous
     batcher so concurrent clients share one TPU decode
-    (pipelines/scheduler.py)."""
+    (pipelines/scheduler.py). Requests beyond `max_concurrent_requests`
+    in flight are rejected with 429 instead of queueing unboundedly."""
     from aiohttp import web
+
+    limiter = asyncio.Semaphore(max_concurrent_requests)
+
+    @web.middleware
+    async def rate_limit(request, handler):
+        if request.path == "/health":
+            return await handler(request)
+        if limiter.locked():
+            return web.json_response(
+                {
+                    "error": {
+                        "message": "too many concurrent requests",
+                        "type": "rate_limit_exceeded",
+                    }
+                },
+                status=429,
+            )
+        async with limiter:
+            return await handler(request)
 
     scheduler = None
     if batching:
@@ -167,7 +193,7 @@ def create_app(pipeline, *, batching: bool = True, max_batch: int = 16):
                 result = await loop.run_in_executor(
                     None, lambda: pipeline.transcribe(audio_path, options)
                 )
-            body, ctype = _result_payload(result, response_format)
+            body, ctype = _result_payload(result, response_format, task.value)
             return web.Response(text=body, content_type=ctype)
         except Exception as e:  # surface as OpenAI-style error object
             logging.error(f"transcription failed: {e}")
@@ -239,7 +265,9 @@ def create_app(pipeline, *, batching: bool = True, max_batch: int = 16):
     async def translations(request):
         return await _handle(request, DecodingTask.TRANSLATE)
 
-    app = web.Application(client_max_size=512 * 1024 * 1024)
+    app = web.Application(
+        client_max_size=512 * 1024 * 1024, middlewares=[rate_limit]
+    )
     app.router.add_get("/health", health)
     app.router.add_post("/v1/audio/transcriptions", transcriptions)
     app.router.add_post("/v1/audio/translations", translations)
