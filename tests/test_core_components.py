@@ -262,3 +262,48 @@ def test_tp_sharding_wired_into_pipeline():
     # attention/MLP weights actually column/row-split over tp
     w = pipe.params["encoder"]["blocks"]["fc1"]["w"]
     assert "tp" in str(w.sharding.spec)
+
+
+def test_diarize_pipeline_multichip_sharding():
+    """Diarization shards its chunk batch over the dp mesh (8 virtual CPU
+    devices in CI) and slices pad rows back off."""
+    import jax
+
+    from whisperkit_tpu.pipelines.diarize import DiarizationOptions, DiarizePipeline
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    pipe = DiarizePipeline()
+    plan = pipe._mesh()
+    assert plan is not None and plan.dp == len(jax.devices())
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 40) * 0.2).astype(np.float32)
+    result = pipe.diarize(audio, DiarizationOptions(min_active_offset=0.3))
+    # 40 s / 15 s stride → chunks at 0 s and 15 s (the 30 s start is fully
+    # covered by the 15 s chunk's 30 s span); padded to 8 on device, 2 kept
+    assert pipe.timings.chunk_count == 2
+    for seg in result.segments:
+        assert 0.0 <= seg.start <= seg.end <= 41.0
+
+
+def test_tts_pipeline_multichip_sharding():
+    """TTS pads sentence-chunk rows to a dp multiple and drops the
+    duplicates at delivery — output must match the chunk count."""
+    import jax
+
+    from whisperkit_tpu.pipelines.tts import GenerationOptions, TTSPipeline
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    pipe = TTSPipeline()
+    plan = pipe._mesh()
+    assert plan is not None
+    text = "one sentence here. another sentence there. a third one now."
+    res = pipe.generate(
+        text,
+        GenerationOptions(
+            max_new_tokens=6, seed=0, target_chunk_size=25, min_chunk_size=5
+        ),
+    )
+    assert pipe.timings.chunks >= 2  # real chunks only (pads dropped)
+    assert res.audio.size > 0 and np.isfinite(res.audio).all()

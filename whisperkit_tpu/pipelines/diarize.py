@@ -127,6 +127,43 @@ class DiarizePipeline:
             "resnet" if "layer1" in self.embedder_params else "conv"
         )
         self.timings = DiarizationTimings()
+        self._mesh_plan = None  # lazily built when >1 device is visible
+
+    def _mesh(self):
+        """Data-parallel mesh over visible devices: the chunk batch and the
+        (chunk, slot) embedding batch shard over ICI, params replicate
+        (SURVEY.md §2.6 — the reference's segmenter/embedder worker pools
+        become sharded batch dims)."""
+        if self._mesh_plan is None:
+            n = len(jax.devices())
+            if n <= 1:
+                self._mesh_plan = False
+            else:
+                from whisperkit_tpu.parallel.mesh import (
+                    make_mesh,
+                    shard_params_replicated,
+                )
+
+                self._mesh_plan = make_mesh(dp=n)
+                self.segmenter_params = shard_params_replicated(
+                    self._mesh_plan, self.segmenter_params
+                )
+                self.embedder_params = shard_params_replicated(
+                    self._mesh_plan, self.embedder_params
+                )
+        return self._mesh_plan or None
+
+    def _shard_rows(self, plan, rows: np.ndarray):
+        """Pad a host batch to a dp multiple and shard it; returns
+        (device_array, n_real)."""
+        from whisperkit_tpu.parallel.mesh import shard_batch
+
+        n_real = len(rows)
+        padded = plan.pad_batch(n_real)
+        if padded > n_real:
+            pad = np.zeros((padded - n_real, *rows.shape[1:]), rows.dtype)
+            rows = np.concatenate([rows, pad])
+        return shard_batch(plan, jnp.asarray(rows)), n_real
 
     @classmethod
     def from_pretrained(cls, model_folder: Optional[str] = None, **kwargs):
@@ -231,23 +268,26 @@ class DiarizePipeline:
         n_chunks = len(chunk_starts)
         self.timings.chunk_count = n_chunks
 
-        # ---- segmenter (one batched call) ---------------------------------
+        # ---- segmenter (one batched call, dp-sharded when >1 device) ------
         t0 = time.perf_counter()
+        plan = self._mesh()
+        if plan is not None:
+            chunks_dev, _ = self._shard_rows(plan, chunks)
+        else:
+            chunks_dev = jnp.asarray(chunks)
         if pyannet:
             from whisperkit_tpu.models.pyannet import (
                 powerset_to_activity,
                 pyannet_forward,
             )
 
-            log_probs = pyannet_forward(self.segmenter_params, jnp.asarray(chunks))
-            activity = np.asarray(powerset_to_activity(log_probs))  # [C, F, 3]
+            log_probs = pyannet_forward(self.segmenter_params, chunks_dev)
+            activity = np.asarray(powerset_to_activity(log_probs))[:n_chunks]
             frames = activity.shape[1]
             n_slots = activity.shape[2]
         else:
-            seg_out = segmenter_forward(
-                self.segmenter_params, jnp.asarray(chunks), sdims
-            )
-            activity = np.asarray(seg_out["speaker_activity"])  # [C, F, S]
+            seg_out = segmenter_forward(self.segmenter_params, chunks_dev, sdims)
+            activity = np.asarray(seg_out["speaker_activity"])[:n_chunks]
             frames = sdims.frames_per_chunk
             n_slots = sdims.n_local_speakers
         frame_sec = chunk_samples / SAMPLE_RATE / frames
@@ -272,10 +312,10 @@ class DiarizePipeline:
             from whisperkit_tpu.ops.fbank import kaldi_fbank
 
             fbanks = np.asarray(
-                kaldi_fbank(jnp.asarray(chunks), mean_norm=False)
-            )  # [C, F_fb, 80]; CMN over active frames happens in the embedder
+                kaldi_fbank(chunks_dev, mean_norm=False)
+            )[:n_chunks]  # [C, F_fb, 80]; CMN over active frames in the embedder
             f_fb = fbanks.shape[1]
-            fb = jnp.asarray(np.stack([fbanks[c] for c, _ in pairs]))
+            fb = np.stack([fbanks[c] for c, _ in pairs])
             # map each 10 ms fbank frame onto the segmenter frame grid
             seg_idx = np.minimum(
                 (np.arange(f_fb) * frames // f_fb), frames - 1
@@ -283,32 +323,44 @@ class DiarizePipeline:
             masks = np.stack(
                 [activity[c, seg_idx, s] for c, s in pairs]
             ).astype(np.float32)
+            if plan is not None:
+                fb_dev, n_pairs = self._shard_rows(plan, fb)
+                masks_dev, _ = self._shard_rows(plan, masks)
+            else:
+                fb_dev, masks_dev, n_pairs = jnp.asarray(fb), jnp.asarray(masks), len(pairs)
             emb = np.asarray(
-                wespeaker_embed_masked(self.embedder_params, fb, jnp.asarray(masks))
-            )
+                wespeaker_embed_masked(self.embedder_params, fb_dev, masks_dev)
+            )[:n_pairs]
             embeddings = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
             ratios = [float(active[c, :, s].mean()) for c, s in pairs]
         elif pairs:
             mel_frames = 3000  # 30 s of 10 ms mel frames
-            fbanks = log_mel_spectrogram(
-                jnp.asarray(chunks), n_mels=self.config.embedder_dims.n_mels
-            )  # [C, M, 3000]
-            fb = jnp.stack([fbanks[c] for c, _ in pairs])
+            fbanks = np.asarray(
+                log_mel_spectrogram(
+                    chunks_dev, n_mels=self.config.embedder_dims.n_mels
+                )
+            )[:n_chunks]  # [C, M, 3000]
+            fb = np.stack([fbanks[c] for c, _ in pairs])
             # upsample activity to the mel frame grid for masking
             masks = np.stack(
                 [
                     np.repeat(activity[c, :, s], mel_frames // frames)[:mel_frames]
                     for c, s in pairs
                 ]
-            )
+            ).astype(np.float32)
+            if plan is not None:
+                fb_dev, n_pairs = self._shard_rows(plan, fb)
+                masks_dev, _ = self._shard_rows(plan, masks)
+            else:
+                fb_dev, masks_dev, n_pairs = jnp.asarray(fb), jnp.asarray(masks), len(pairs)
             embeddings = np.asarray(
                 embedder_forward(
                     self.embedder_params,
-                    fb,
-                    jnp.asarray(masks, jnp.float32),
+                    fb_dev,
+                    masks_dev,
                     self.config.embedder_dims,
                 )
-            )
+            )[:n_pairs]
             ratios = [float(active[c, :, s].mean()) for c, s in pairs]
         self.timings.embedder_seconds = time.perf_counter() - t0
         self.timings.embedding_count = len(pairs)

@@ -266,6 +266,25 @@ class TTSPipeline:
         self.prompt_cache = TTSPromptCache()
         self.chunker = TextChunker()
         self.timings = SpeechTimings()
+        self._mesh_plan = None  # lazily built when >1 device is visible
+
+    def _mesh(self):
+        """Data-parallel mesh: sentence-chunk rows shard over ICI, params
+        replicate (SURVEY.md §2.6 — the reference's concurrent chunk
+        TaskGroups become a sharded batch dim)."""
+        if self._mesh_plan is None:
+            n = len(jax.devices())
+            if n <= 1:
+                self._mesh_plan = False
+            else:
+                from whisperkit_tpu.parallel.mesh import (
+                    make_mesh,
+                    shard_params_replicated,
+                )
+
+                self._mesh_plan = make_mesh(dp=n)
+                self.params = shard_params_replicated(self._mesh_plan, self.params)
+        return self._mesh_plan or None
 
     @classmethod
     def from_pretrained(cls, model_folder: Optional[str] = None, **kwargs):
@@ -359,7 +378,18 @@ class TTSPipeline:
             token_rows = [self.tokenizer.encode(c) or [0] for c in chunks]
         else:
             token_rows = [self._prompt_tokens(c, options) for c in chunks]
+        # multi-chip: pad the chunk rows to a dp multiple (the duplicates
+        # generate in parallel and are dropped at delivery) and shard
+        plan = self._mesh()
+        if plan is not None:
+            padded_rows = plan.pad_batch(len(token_rows))
+            token_rows = token_rows + [token_rows[-1]] * (padded_rows - len(token_rows))
         prompt_embeds, prompt_pad = self._embed(token_rows)
+        if plan is not None:
+            from whisperkit_tpu.parallel.mesh import shard_batch
+
+            prompt_embeds = shard_batch(plan, prompt_embeds)
+            prompt_pad = shard_batch(plan, prompt_pad)
         timings.tokenize_seconds = time.perf_counter() - t0
         timings.chunks = len(chunks)
 
