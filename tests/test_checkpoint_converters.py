@@ -126,6 +126,10 @@ def test_pyannet_converter_torch_parity():
     got = np.asarray(pyannet_forward(params, jnp.asarray(audio)))
     assert got.shape == want.shape  # [2, F, 7]
     np.testing.assert_allclose(got, want, atol=2e-4)
+    # the pipeline's closed-form frame count must match the real forward
+    from whisperkit_tpu.pipelines.diarize import _pyannet_frames
+
+    assert got.shape[1] == _pyannet_frames(audio.shape[1])
 
 
 def test_pyannet_linear_layer_width_follows_checkpoint():

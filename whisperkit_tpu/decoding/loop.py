@@ -195,7 +195,11 @@ def decode_loop(
     )
     token_logprobs = jnp.zeros((b, total), jnp.float32)
     if capture:
-        align = jnp.zeros((total, b, len(alignment_heads), cross_k.shape[3]), jnp.float32)
+        # int8 cross-KV arrives as a {"q8","scale"} dict (ops/quant.py)
+        ck_frames = (
+            cross_k["q8"].shape[3] if isinstance(cross_k, dict) else cross_k.shape[3]
+        )
+        align = jnp.zeros((total, b, len(alignment_heads), ck_frames), jnp.float32)
         align = jax.lax.dynamic_update_slice(
             align, prefill.align_prefix, (0, 0, 0, 0)
         )

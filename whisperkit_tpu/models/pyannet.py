@@ -67,7 +67,11 @@ def sinc_filters(
     band = (high - low)[:, 0]  # [F]
 
     half = kernel_size // 2
-    n_lin = np.linspace(0, half - 1, half)
+    # published construction: linspace(0, K/2 - 1, K//2) — for odd K the
+    # endpoint is fractional (124.5 for K=251), NOT half-1. The torch-parity
+    # test shares this function on both sides, so it can't cross-check this
+    # constant; it is pinned against asteroid_filterbanks ParamSincFB here.
+    n_lin = np.linspace(0, kernel_size / 2 - 1, half)
     window = 0.54 - 0.46 * np.cos(2 * np.pi * n_lin / kernel_size)  # [K//2]
     n_ = 2 * np.pi * np.arange(-half, 0)[None, :] / sample_rate  # [1, K//2]
 

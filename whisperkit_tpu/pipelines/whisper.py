@@ -336,17 +336,27 @@ class WhisperPipeline:
 
         # DecodingCache (Models.swift:325-339) made sound for Whisper: the
         # prompt pass has no sampling, so every rung of the temperature
-        # ladder reuses ONE prefill instead of re-running it.
+        # ladder reuses ONE prefill instead of re-running it. Computed
+        # lazily: beam_decode_loop runs its own prompt pass, so a beam-mode
+        # rung 0 that succeeds never pays for a prefill it can't consume.
         from whisperkit_tpu.decoding.loop import prefill_window
 
-        t_pre = time.perf_counter()
-        prefill = prefill_window(
-            self.params, cross_k, cross_v, prompt_arr,
-            dims=self.dims, special=sp, sample_begin=len(prompt),
-            max_new_tokens=max_new, sot_index=sot_index,
-            alignment_heads=align_heads,
-        )
-        self.timings.prefill += time.perf_counter() - t_pre
+        prefill = None
+
+        def get_prefill():
+            nonlocal prefill
+            if prefill is None:
+                t_pre = time.perf_counter()
+                prefill = prefill_window(
+                    self.params, cross_k, cross_v, prompt_arr,
+                    dims=self.dims, special=sp, sample_begin=len(prompt),
+                    max_new_tokens=max_new, sot_index=sot_index,
+                    alignment_heads=align_heads,
+                )
+                self.timings.prefill += time.perf_counter() - t_pre
+            else:
+                self.timings.prefill_cache_hits += 1
+            return prefill
 
         results: list[Optional[_WindowDecode]] = [None] * b
         for rung, temperature in enumerate(options.temperatures):
@@ -390,10 +400,8 @@ class WhisperPipeline:
                     use_timestamp_rules=not options.without_timestamps,
                     suppress_blank=options.suppress_blank,
                     alignment_heads=align_heads,
-                    prefill=prefill,
+                    prefill=get_prefill(),
                 )
-                if rung > 0:
-                    self.timings.prefill_cache_hits += 1
             tokens_np = np.asarray(out.tokens)
             lps_np = np.asarray(out.token_logprobs)
             nsp_np = np.asarray(out.no_speech_prob)

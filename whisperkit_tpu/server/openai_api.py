@@ -83,13 +83,19 @@ def create_app(
     in flight are rejected with 429 instead of queueing unboundedly."""
     from aiohttp import web
 
-    limiter = asyncio.Semaphore(max_concurrent_requests)
+    # explicit in-flight counter: a Semaphore's locked()-then-acquire is a
+    # check-then-act race — a burst arriving while one slot is free would all
+    # pass the check and queue past the limit instead of getting 429. The
+    # counter increments atomically (no await between test and increment),
+    # so overload genuinely rejects instead of queueing.
+    in_flight = 0
 
     @web.middleware
     async def rate_limit(request, handler):
+        nonlocal in_flight
         if request.path == "/health":
             return await handler(request)
-        if limiter.locked():
+        if in_flight >= max_concurrent_requests:
             return web.json_response(
                 {
                     "error": {
@@ -99,8 +105,11 @@ def create_app(
                 },
                 status=429,
             )
-        async with limiter:
+        in_flight += 1
+        try:
             return await handler(request)
+        finally:
+            in_flight -= 1
 
     scheduler = None
     if batching:
