@@ -47,7 +47,8 @@ def test_multichannel_m4a(pipe, resources):
 
 
 def test_qwen3_loader_round_trip(tmp_path):
-    """Save HF-named Qwen3 tensors, load, and check they landed."""
+    """Save HF-named Qwen3 backbone tensors, load with allow_partial (no
+    code-predictor/code2wav tensors present), and check they landed."""
     import json
 
     from safetensors.numpy import save_file
@@ -55,8 +56,16 @@ def test_qwen3_loader_round_trip(tmp_path):
     from whisperkit_tpu.models.qwen3_loader import load_qwen3_tts
 
     cfg = dict(vocab_size=128, hidden_size=32, num_hidden_layers=2,
-               num_attention_heads=4, num_key_value_heads=2,
-               intermediate_size=64, max_position_embeddings=128)
+               num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+               intermediate_size=64, max_position_embeddings=128,
+               talker_config=dict(code_predictor_config=dict(
+                   num_hidden_layers=2, num_attention_heads=2,
+                   num_key_value_heads=1, head_dim=8, intermediate_size=32)),
+               code2wav_config=dict(hidden_size=32, num_hidden_layers=2,
+                                    num_attention_heads=4,
+                                    num_key_value_heads=2,
+                                    intermediate_size=64, sliding_window=8,
+                                    decoder_dim=32))
     (tmp_path / "config.json").write_text(json.dumps(cfg))
 
     rng = np.random.default_rng(0)
@@ -80,8 +89,14 @@ def test_qwen3_loader_round_trip(tmp_path):
             tensors[p + name] = rng.standard_normal(shape).astype(np.float32)
     save_file(tensors, str(tmp_path / "model.safetensors"))
 
-    dims, params = load_qwen3_tts(tmp_path, dtype=np.float32)
-    assert dims.d_model == 32 and dims.n_layer == 2
+    # components beyond the backbone are absent: loud by default
+    from whisperkit_tpu.core.errors import ModelsUnavailable
+
+    with pytest.raises(ModelsUnavailable, match="missing components"):
+        load_qwen3_tts(tmp_path, dtype=np.float32)
+
+    dims, params = load_qwen3_tts(tmp_path, dtype=np.float32, allow_partial=True)
+    assert dims.d_model == 32 and dims.n_layer == 2 and dims.head_dim == 8
     np.testing.assert_allclose(
         np.asarray(params["text_embed"], np.float32),
         tensors["model.embed_tokens.weight"], atol=1e-6,

@@ -2,11 +2,23 @@
 
 Reference behavior: the reference resolves six CoreML component models per
 variant (Qwen3Config.swift:106-112 `Qwen3VariantDefaults`, TTSKit façade
-download/resolve). Here the backbone maps from standard HF Qwen3 weight
-names (`model.layers.N.self_attn.q_proj.weight`, `mlp.gate_proj`, …); the
-TTS-specific heads (code embedder, multicode heads, vocoder) load from
-same-named tensors when present and random-initialize otherwise, so a
-partially-converted checkpoint still runs.
+download/resolve). Here one HF-style folder carries the whole stack:
+
+  * backbone (CodeDecoder) — standard HF Qwen3 names
+    (`model.layers.N.self_attn.q_proj.weight`, …), with or without a
+    `talker.` prefix; `lm_head`/`codec_head` is the code0 head and
+    `codec_embedding` the CodeEmbedder table.
+  * code predictor (MultiCodeDecoder) — HF `TalkerCodePredictor` names
+    (`talker.code_predictor.model.layers.N.…`, `codec_embedding.{j}`,
+    `lm_head.{j}`).
+  * speech decoder — HF `Code2Wav` names (`code2wav.pre_transformer.…`,
+    `code2wav.upsample.…`, `code2wav.decoder.…`).
+
+Missing components FAIL LOUDLY: a checkpoint that names some tensors of a
+component but not all of them raises; a checkpoint missing a whole
+component raises unless `allow_partial=True` (then it is random-initialized
+with an error-level log). The reference's equivalent failure is a missing
+.mlmodelc at load (Qwen3SpeechDecoder.swift:66-68).
 """
 
 from __future__ import annotations
@@ -21,26 +33,320 @@ import numpy as np
 
 from whisperkit_tpu.core.errors import ModelsUnavailable
 from whisperkit_tpu.core.logging import logging
-from whisperkit_tpu.models.qwen3_tts import Qwen3TTSDims, init_tts_params
+from whisperkit_tpu.models.qwen3_tts import (
+    CODEC_VOCAB,
+    HEAD_VOCAB,
+    Code2WavDims,
+    Qwen3TTSDims,
+    init_tts_params,
+)
 
 
 def dims_from_qwen3_config(cfg: dict) -> Qwen3TTSDims:
-    return Qwen3TTSDims(
-        text_vocab=cfg.get("vocab_size", 151_936),
-        d_model=cfg.get("hidden_size", 1024),
-        n_layer=cfg.get("num_hidden_layers", 28),
-        n_head=cfg.get("num_attention_heads", 16),
-        n_kv_head=cfg.get("num_key_value_heads", 8),
-        d_ff=cfg.get("intermediate_size", 3072),
-        rope_theta=cfg.get("rope_theta", 1_000_000.0),
-        max_seq=cfg.get("max_position_embeddings", 2048),
+    """Read backbone dims from a flat HF Qwen3 config, with optional nested
+    `talker_config` / `code_predictor_config` / `code2wav_config` blocks
+    (qwen3_omni_moe layout)."""
+    talker = cfg.get("talker_config", {}).get("text_config", cfg)
+    cp = cfg.get("talker_config", {}).get("code_predictor_config", {})
+    c2w_cfg = cfg.get("code2wav_config", {})
+
+    def d(src, key, default):
+        return src.get(key, default)
+
+    kwargs = dict(
+        text_vocab=d(cfg, "vocab_size", 151_936),
+        d_model=d(talker, "hidden_size", 1024),
+        n_layer=d(talker, "num_hidden_layers", 28),
+        n_head=d(talker, "num_attention_heads", 16),
+        n_kv_head=d(talker, "num_key_value_heads", 8),
+        # Qwen3 configs carry an explicit head_dim (128 even at hidden 1024
+        # — cdCacheDim 28672 = 28 x 8 x 128, Qwen3Models.swift:50)
+        head_dim=d(talker, "head_dim", d(cfg, "head_dim", 128)),
+        d_ff=d(talker, "intermediate_size", 3072),
+        rope_theta=d(talker, "rope_theta", 1_000_000.0),
+        max_seq=d(talker, "max_position_embeddings", 2048),
     )
+    if cp:
+        kwargs.update(
+            cp_layer=d(cp, "num_hidden_layers", 5),
+            cp_head=d(cp, "num_attention_heads", 16),
+            cp_kv_head=d(cp, "num_key_value_heads", 8),
+            cp_head_dim=d(cp, "head_dim", 128),
+            cp_ff=d(cp, "intermediate_size", 3072),
+            cp_rope_theta=d(cp, "rope_theta", 10_000.0),
+        )
+    if c2w_cfg:
+        kwargs["c2w"] = Code2WavDims(
+            d_model=d(c2w_cfg, "hidden_size", 1024),
+            n_layer=d(c2w_cfg, "num_hidden_layers", 8),
+            n_head=d(c2w_cfg, "num_attention_heads", 16),
+            n_kv_head=d(c2w_cfg, "num_key_value_heads", 16),
+            d_ff=d(c2w_cfg, "intermediate_size", 3072),
+            sliding_window=d(c2w_cfg, "sliding_window", 72),
+            rope_theta=d(c2w_cfg, "rope_theta", 10_000.0),
+            rms_eps=d(c2w_cfg, "rms_norm_eps", 1e-5),
+            layer_scale_init=d(c2w_cfg, "layer_scale_initial_scale", 0.01),
+            codebook=d(c2w_cfg, "codebook_size", 2048),
+            n_quantizers=d(c2w_cfg, "num_quantizers", 16),
+            upsampling_ratios=tuple(d(c2w_cfg, "upsampling_ratios", (2, 2))),
+            upsample_rates=tuple(d(c2w_cfg, "upsample_rates", (8, 5, 4, 3))),
+            decoder_dim=d(c2w_cfg, "decoder_dim", 1536),
+        )
+    return Qwen3TTSDims(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Component converters (HF state-dict → our pytrees). Shared by the folder
+# loader and the torch-parity tests (tests/test_tts_parity.py).
+# ---------------------------------------------------------------------------
+
+
+def _t(x):  # HF Linear [out, in] → ours [in, out]
+    return np.asarray(x).T
+
+
+def _stack(rows):
+    return jnp.asarray(np.stack(rows))
+
+
+class _SD:
+    """State-dict view with prefix stripping and access tracking."""
+
+    def __init__(self, sd: dict, prefixes: tuple[str, ...] = ("",)):
+        self.sd = sd
+        self.prefixes = prefixes
+        self.missing: list[str] = []
+        self.found = 0
+
+    def get(self, name: str) -> Optional[np.ndarray]:
+        for p in self.prefixes:
+            if p + name in self.sd:
+                self.found += 1
+                return np.asarray(self.sd[p + name])
+        self.missing.append(self.prefixes[0] + name)
+        return None
+
+    def has_any(self, name: str) -> bool:
+        return any(p + name in self.sd for p in self.prefixes)
+
+
+def convert_code2wav_state_dict(
+    sd: dict, dims: Code2WavDims, dtype=jnp.float32, prefix: str = ""
+) -> dict:
+    """HF `Qwen3OmniMoeCode2Wav` state dict → our c2w params.
+
+    Raises ModelsUnavailable listing every absent tensor (loud failure —
+    VERDICT r2 #1: never silently random-init a partially-named head).
+    """
+    v = _SD(sd, (prefix,))
+
+    def req(name):
+        t = v.get(name)
+        if t is None:
+            return None
+        return t
+
+    blocks = {k: [] for k in (
+        "ln1", "wq", "wk", "wv", "wo", "ln2", "w_gate", "w_up", "w_down",
+        "attn_scale", "mlp_scale",
+    )}
+    for i in range(dims.n_layer):
+        p = f"pre_transformer.layers.{i}."
+        blocks["ln1"].append(req(p + "input_layernorm.weight"))
+        blocks["wq"].append(_t(t) if (t := req(p + "self_attn.q_proj.weight")) is not None else None)
+        blocks["wk"].append(_t(t) if (t := req(p + "self_attn.k_proj.weight")) is not None else None)
+        blocks["wv"].append(_t(t) if (t := req(p + "self_attn.v_proj.weight")) is not None else None)
+        blocks["wo"].append(_t(t) if (t := req(p + "self_attn.o_proj.weight")) is not None else None)
+        blocks["ln2"].append(req(p + "post_attention_layernorm.weight"))
+        blocks["w_gate"].append(_t(t) if (t := req(p + "mlp.gate_proj.weight")) is not None else None)
+        blocks["w_up"].append(_t(t) if (t := req(p + "mlp.up_proj.weight")) is not None else None)
+        blocks["w_down"].append(_t(t) if (t := req(p + "mlp.down_proj.weight")) is not None else None)
+        blocks["attn_scale"].append(req(p + "self_attn_layer_scale.scale"))
+        blocks["mlp_scale"].append(req(p + "mlp_layer_scale.scale"))
+
+    upsample = []
+    for i in range(len(dims.upsampling_ratios)):
+        p = f"upsample.{i}."
+        upsample.append(
+            {
+                "tconv_w": req(p + "0.conv.weight"),
+                "tconv_b": req(p + "0.conv.bias"),
+                "cnx": {
+                    "dw_w": req(p + "1.dwconv.conv.weight"),
+                    "dw_b": req(p + "1.dwconv.conv.bias"),
+                    "ln_g": req(p + "1.norm.weight"),
+                    "ln_b": req(p + "1.norm.bias"),
+                    "pw1_w": _t(t) if (t := req(p + "1.pwconv1.weight")) is not None else None,
+                    "pw1_b": req(p + "1.pwconv1.bias"),
+                    "pw2_w": _t(t) if (t := req(p + "1.pwconv2.weight")) is not None else None,
+                    "pw2_b": req(p + "1.pwconv2.bias"),
+                    "gamma": req(p + "1.gamma"),
+                },
+            }
+        )
+
+    dec_blocks = []
+    for i in range(len(dims.upsample_rates)):
+        p = f"decoder.{1 + i}.block."
+        units = []
+        for j in range(3):
+            u = p + f"{2 + j}."
+            units.append(
+                {
+                    "a1": req(u + "act1.alpha"),
+                    "b1": req(u + "act1.beta"),
+                    "c1_w": req(u + "conv1.conv.weight"),
+                    "c1_b": req(u + "conv1.conv.bias"),
+                    "a2": req(u + "act2.alpha"),
+                    "b2": req(u + "act2.beta"),
+                    "c2_w": req(u + "conv2.conv.weight"),
+                    "c2_b": req(u + "conv2.conv.bias"),
+                }
+            )
+        dec_blocks.append(
+            {
+                "snake_a": req(p + "0.alpha"),
+                "snake_b": req(p + "0.beta"),
+                "tconv_w": req(p + "1.conv.weight"),
+                "tconv_b": req(p + "1.conv.bias"),
+                "units": units,
+            }
+        )
+    n_dec = 1 + len(dims.upsample_rates)
+
+    params = {
+        "code_embed": req("code_embedding.weight"),
+        "blocks": blocks,
+        "ln_f": req("pre_transformer.norm.weight"),
+        "upsample": upsample,
+        "dec_in_w": req("decoder.0.conv.weight"),
+        "dec_in_b": req("decoder.0.conv.bias"),
+        "dec_blocks": dec_blocks,
+        "out_snake_a": req(f"decoder.{n_dec}.alpha"),
+        "out_snake_b": req(f"decoder.{n_dec}.beta"),
+        "out_w": req(f"decoder.{n_dec + 1}.conv.weight"),
+        "out_b": req(f"decoder.{n_dec + 1}.conv.bias"),
+    }
+    if v.missing:
+        raise ModelsUnavailable(
+            f"code2wav checkpoint incomplete: missing {v.missing[:8]}"
+            + (f" (+{len(v.missing) - 8} more)" if len(v.missing) > 8 else "")
+        )
+
+    def to_dev(x):
+        return jnp.asarray(x, dtype) if isinstance(x, np.ndarray) else x
+
+    params = jax.tree.map(to_dev, params)
+    params["blocks"] = {k: _stack(rows).astype(dtype) for k, rows in blocks.items()}
+    return params
+
+
+def convert_code_predictor_state_dict(
+    sd: dict, dims: Qwen3TTSDims, dtype=jnp.bfloat16, prefix: str = ""
+) -> dict:
+    """HF `TalkerCodePredictorModelForConditionalGeneration` state dict →
+    our `mc` params (15 embed tables, cp transformer, 15 heads)."""
+    v = _SD(sd, (prefix,))
+
+    def lin(name):
+        t = v.get(name)
+        return None if t is None else _t(t)
+
+    blocks = {k: [] for k in (
+        "ln1", "wq", "wk", "wv", "wo", "qnorm", "knorm", "ln2",
+        "w_gate", "w_up", "w_down",
+    )}
+    for i in range(dims.cp_layer):
+        p = f"model.layers.{i}."
+        blocks["ln1"].append(v.get(p + "input_layernorm.weight"))
+        blocks["wq"].append(lin(p + "self_attn.q_proj.weight"))
+        blocks["wk"].append(lin(p + "self_attn.k_proj.weight"))
+        blocks["wv"].append(lin(p + "self_attn.v_proj.weight"))
+        blocks["wo"].append(lin(p + "self_attn.o_proj.weight"))
+        blocks["qnorm"].append(v.get(p + "self_attn.q_norm.weight"))
+        blocks["knorm"].append(v.get(p + "self_attn.k_norm.weight"))
+        blocks["ln2"].append(v.get(p + "post_attention_layernorm.weight"))
+        blocks["w_gate"].append(lin(p + "mlp.gate_proj.weight"))
+        blocks["w_up"].append(lin(p + "mlp.up_proj.weight"))
+        blocks["w_down"].append(lin(p + "mlp.down_proj.weight"))
+
+    embeds = [v.get(f"model.codec_embedding.{j}.weight") for j in range(15)]
+    heads = [v.get(f"lm_head.{j}.weight") for j in range(15)]
+    ln_f = v.get("model.norm.weight")
+    if v.missing:
+        raise ModelsUnavailable(
+            f"code-predictor checkpoint incomplete: missing {v.missing[:8]}"
+            + (f" (+{len(v.missing) - 8} more)" if len(v.missing) > 8 else "")
+        )
+    return {
+        "blocks": {k: _stack(rows).astype(dtype) for k, rows in blocks.items()},
+        "embeds": _stack(embeds).astype(dtype),
+        "heads": _stack([_t(h) for h in heads]).astype(dtype),
+        "ln_f": jnp.asarray(ln_f, dtype),
+    }
+
+
+def convert_backbone_state_dict(
+    sd: dict, dims: Qwen3TTSDims, dtype=jnp.bfloat16, prefixes=("", "model.")
+) -> dict:
+    """HF Qwen3 dense decoder names → backbone blocks/norm/embeddings.
+
+    `prefixes` are tried in order for each tensor (accepts bare
+    `layers.N.…`, `model.layers.N.…`, or `talker.model.layers.N.…`)."""
+    v = _SD(sd, prefixes)
+
+    def lin(name):
+        t = v.get(name)
+        return None if t is None else _t(t)
+
+    blocks = {k: [] for k in (
+        "ln1", "wq", "wk", "wv", "wo", "qnorm", "knorm", "ln2",
+        "w_gate", "w_up", "w_down",
+    )}
+    for i in range(dims.n_layer):
+        p = f"layers.{i}."
+        blocks["ln1"].append(v.get(p + "input_layernorm.weight"))
+        blocks["wq"].append(lin(p + "self_attn.q_proj.weight"))
+        blocks["wk"].append(lin(p + "self_attn.k_proj.weight"))
+        blocks["wv"].append(lin(p + "self_attn.v_proj.weight"))
+        blocks["wo"].append(lin(p + "self_attn.o_proj.weight"))
+        blocks["qnorm"].append(v.get(p + "self_attn.q_norm.weight"))
+        blocks["knorm"].append(v.get(p + "self_attn.k_norm.weight"))
+        blocks["ln2"].append(v.get(p + "post_attention_layernorm.weight"))
+        blocks["w_gate"].append(lin(p + "mlp.gate_proj.weight"))
+        blocks["w_up"].append(lin(p + "mlp.up_proj.weight"))
+        blocks["w_down"].append(lin(p + "mlp.down_proj.weight"))
+    ln_f = v.get("norm.weight")
+    if v.missing:
+        raise ModelsUnavailable(
+            f"backbone checkpoint incomplete: missing {v.missing[:8]}"
+            + (f" (+{len(v.missing) - 8} more)" if len(v.missing) > 8 else "")
+        )
+    return {
+        "blocks": {k: _stack(rows).astype(dtype) for k, rows in blocks.items()},
+        "ln_f": jnp.asarray(ln_f, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Folder loader
+# ---------------------------------------------------------------------------
 
 
 def load_qwen3_tts(
-    folder: Union[str, Path], dtype=jnp.bfloat16, seed: int = 0
+    folder: Union[str, Path],
+    dtype=jnp.bfloat16,
+    seed: int = 0,
+    allow_partial: bool = False,
 ) -> tuple[Qwen3TTSDims, dict]:
-    """Load config.json + *.safetensors from `folder`."""
+    """Load config.json + *.safetensors from `folder`.
+
+    Components found in the checkpoint replace their random-init
+    counterparts; a component that is PARTIALLY present always raises; a
+    component wholly absent raises unless `allow_partial=True` (then it
+    stays at random init with an error-level log — useful for
+    backbone-only experiments, never for production serving).
+    """
     folder = Path(folder)
     cfg_path = folder / "config.json"
     if not cfg_path.exists():
@@ -60,113 +366,91 @@ def load_qwen3_tts(
         raise ModelsUnavailable(f"no .safetensors in {folder}")
 
     params = init_tts_params(jax.random.PRNGKey(seed), dims, dtype)
-    loaded, missing = _apply_hf_qwen3(params, tensors, dims, dtype)
-    logging.info(
-        f"qwen3-tts from {folder}: {loaded} tensors mapped, "
-        f"{missing} heads left at init"
+    absent: list[str] = []
+
+    def component_present(probe_names) -> bool:
+        return any(n in tensors for n in probe_names)
+
+    # --- backbone ---------------------------------------------------------
+    bb_prefixes = ("", "model.", "talker.model.", "talker.")
+    if component_present(
+        [p + "layers.0.self_attn.q_proj.weight" for p in bb_prefixes]
+    ):
+        bb = convert_backbone_state_dict(tensors, dims, dtype, bb_prefixes)
+        params["blocks"] = bb["blocks"]
+        params["ln_f"] = bb["ln_f"]
+    else:
+        absent.append("backbone (model.layers.*)")
+
+    def put_first(key, names, want_shape, transpose_ok=True):
+        for n in names:
+            if n in tensors:
+                t = np.asarray(tensors[n])
+                if t.shape == want_shape:
+                    params[key] = jnp.asarray(t, dtype)
+                elif transpose_ok and t.ndim == 2 and t.shape[::-1] == want_shape:
+                    params[key] = jnp.asarray(t.T, dtype)
+                else:
+                    raise ModelsUnavailable(
+                        f"{n}: shape {t.shape} does not fit {want_shape}"
+                    )
+                return True
+        absent.append(f"{key} ({names[0]})")
+        return False
+
+    put_first(
+        "text_embed",
+        ["model.embed_tokens.weight", "embed_tokens.weight",
+         "talker.model.text_embedding.weight", "text_projection.weight"],
+        (dims.text_vocab, dims.d_model),
     )
+    put_first(
+        "code_embed",
+        ["talker.model.codec_embedding.weight", "codec_embedding.weight",
+         "code_embedding.weight", "tts.code_embed.weight"],
+        (CODEC_VOCAB, dims.d_model),
+    )
+    put_first(
+        "code0_head",
+        ["talker.codec_head.weight", "codec_head.weight", "lm_head.weight",
+         "tts.code0_head.weight"],
+        (dims.d_model, CODEC_VOCAB),
+    )
+
+    # --- code predictor ----------------------------------------------------
+    cp_prefixes = ("talker.code_predictor.", "code_predictor.")
+    cp_prefix = next(
+        (p for p in cp_prefixes
+         if p + "model.layers.0.self_attn.q_proj.weight" in tensors),
+        None,
+    )
+    if cp_prefix is not None:
+        params["mc"] = convert_code_predictor_state_dict(
+            tensors, dims, dtype, prefix=cp_prefix
+        )
+    else:
+        absent.append("code predictor (talker.code_predictor.*)")
+
+    # --- code2wav -----------------------------------------------------------
+    if "code2wav.code_embedding.weight" in tensors or component_present(
+        ["code2wav.pre_transformer.layers.0.self_attn.q_proj.weight"]
+    ):
+        params["c2w"] = convert_code2wav_state_dict(
+            tensors, dims.c2w, jnp.float32, prefix="code2wav."
+        )
+    else:
+        absent.append("speech decoder (code2wav.*)")
+
+    if absent:
+        msg = (
+            f"qwen3-tts checkpoint at {folder} is missing components: "
+            f"{', '.join(absent)}"
+        )
+        if not allow_partial:
+            raise ModelsUnavailable(
+                msg + " — pass allow_partial=True to run with random init"
+            )
+        logging.error(msg + " (allow_partial: left at RANDOM INIT)")
+
+    logging.info(f"qwen3-tts loaded from {folder} ({len(tensors)} tensors)")
     return dims, params
-
-
-def _apply_hf_qwen3(params, tensors, dims: Qwen3TTSDims, dtype) -> tuple[int, int]:
-    loaded = 0
-    missing = 0
-
-    def get(name: str) -> Optional[np.ndarray]:
-        if name in tensors:
-            return tensors[name]
-        alt = name[len("model."):] if name.startswith("model.") else "model." + name
-        return tensors.get(alt)
-
-    def put_lin(dst: dict, key: str, name: str) -> bool:
-        t = get(name)
-        if t is None:
-            return False
-        dst[key] = jnp.asarray(t.T, dtype)  # HF [out,in] → ours [in,out]
-        return True
-
-    emb = get("model.embed_tokens.weight")
-    if emb is not None:
-        params["text_embed"] = jnp.asarray(emb, dtype)
-        loaded += 1
-
-    blocks = params["blocks"]
-    per_layer_keys = [
-        ("wq", "self_attn.q_proj.weight"),
-        ("wk", "self_attn.k_proj.weight"),
-        ("wv", "self_attn.v_proj.weight"),
-        ("wo", "self_attn.o_proj.weight"),
-        ("w_gate", "mlp.gate_proj.weight"),
-        ("w_up", "mlp.up_proj.weight"),
-        ("w_down", "mlp.down_proj.weight"),
-    ]
-    norm_keys = [
-        ("ln1", "input_layernorm.weight"),
-        ("ln2", "post_attention_layernorm.weight"),
-        ("qnorm", "self_attn.q_norm.weight"),
-        ("knorm", "self_attn.k_norm.weight"),
-    ]
-    stacked: dict[str, list] = {}
-    for i in range(dims.n_layer):
-        prefix = f"model.layers.{i}."
-        for key, suffix in per_layer_keys:
-            t = get(prefix + suffix)
-            stacked.setdefault(key, []).append(
-                None if t is None else np.asarray(t.T)
-            )
-        for key, suffix in norm_keys:
-            t = get(prefix + suffix)
-            stacked.setdefault(key, []).append(None if t is None else np.asarray(t))
-    for key, rows in stacked.items():
-        if all(r is not None for r in rows):
-            blocks[key] = jnp.asarray(np.stack(rows), dtype)
-            loaded += len(rows)
-        else:
-            missing += sum(r is None for r in rows)
-
-    ln_f = get("model.norm.weight")
-    if ln_f is not None:
-        params["ln_f"] = jnp.asarray(ln_f, dtype)
-        loaded += 1
-
-    # TTS-specific heads + vocoder (converted-checkpoint names); tensors
-    # with neither matching nor transpose-matching shapes are skipped (and
-    # counted missing) rather than assigned blindly
-    def put_checked(container, key, name, want):
-        nonlocal loaded, missing
-        t = get(name)
-        if t is None:
-            missing += 1
-            return
-        tgt_dtype = container[key].dtype  # vocoder params stay f32
-        if t.shape == want:
-            container[key] = jnp.asarray(t, tgt_dtype)
-        elif t.ndim == 2 and t.shape[::-1] == want:
-            container[key] = jnp.asarray(t.T, tgt_dtype)
-        else:
-            logging.error(
-                f"{name}: shape {t.shape} does not fit {want}; left at init"
-            )
-            missing += 1
-            return
-        loaded += 1
-
-    for key, name in [
-        ("code_embed", "tts.code_embed.weight"),
-        ("code0_head", "tts.code0_head.weight"),
-        ("mc_embed", "tts.mc_embed.weight"),
-        ("mc_heads", "tts.mc_heads.weight"),
-    ]:
-        put_checked(params, key, name, params[key].shape)
-
-    for key, name in [("voc_in", "tts.voc_in"), ("voc_out", "tts.voc_out")]:
-        put_checked(params[key], "w", f"{name}.weight", params[key]["w"].shape)
-        put_checked(params[key], "b", f"{name}.bias", params[key]["b"].shape)
-    put_checked(
-        params, "voc_code_embed", "tts.voc_code_embed.weight",
-        params["voc_code_embed"].shape,
-    )
-    for i, bp in enumerate(params["voc_blocks"]):
-        put_checked(bp, "w", f"tts.voc_blocks.{i}.weight", bp["w"].shape)
-        put_checked(bp, "b", f"tts.voc_blocks.{i}.bias", bp["b"].shape)
-    return loaded, missing

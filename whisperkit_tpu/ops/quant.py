@@ -92,29 +92,34 @@ _TTS_BLOCK_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def quantize_tts_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
-    """W8A16-quantize a Qwen3-TTS param tree: every transformer linear
-    (stacked per layer), the code0 head, and the 15 RVQ head classifiers."""
-    out = dict(params)
+    """W8A16-quantize a Qwen3-TTS param tree: every transformer linear of
+    the backbone AND the code predictor (stacked per layer), the code0
+    head, and the 15 RVQ lm heads. Embeddings, norms, and the Code2Wav
+    conv stack stay full precision."""
 
-    blocks = dict(params["blocks"])
-    for key in _TTS_BLOCK_KEYS:
-        w = blocks[key]  # [L, in, out]
-        if hasattr(w, "size") and w.size >= min_size:
-            q = jax.vmap(quantize_weight)(w)
-            blocks[key] = {"w_q": q["w_q"], "scale": q["scale"]}
-    out["blocks"] = blocks
+    def quantize_stacked(blocks: dict) -> dict:
+        blocks = dict(blocks)
+        for key in _TTS_BLOCK_KEYS:
+            w = blocks.get(key)  # [L, in, out]
+            if w is not None and hasattr(w, "size") and w.size >= min_size:
+                q = jax.vmap(quantize_weight)(w)
+                blocks[key] = {"w_q": q["w_q"], "scale": q["scale"]}
+        return blocks
+
+    out = dict(params)
+    out["blocks"] = quantize_stacked(params["blocks"])
 
     head = params["code0_head"]
     if hasattr(head, "size") and head.size >= min_size:
         out["code0_head"] = quantize_weight(head)
 
-    mh = params["mc_heads"]  # [D, 15, V]
+    mc = dict(params["mc"])
+    mc["blocks"] = quantize_stacked(mc["blocks"])
+    mh = mc["heads"]  # [15, D, V]
     if hasattr(mh, "size") and mh.size >= min_size:
-        m32 = mh.astype(jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(m32), axis=0) / 127.0, 1e-8)  # [15, V]
-        w_q = jnp.clip(jnp.round(m32 / scale[None]), -127, 127).astype(jnp.int8)
-        out["mc_heads"] = {"w_q": w_q, "scale": scale.astype(jnp.bfloat16)}
-
+        q = jax.vmap(quantize_weight)(mh)
+        mc["heads"] = {"w_q": q["w_q"], "scale": q["scale"]}
+    out["mc"] = mc
     return out
 
 

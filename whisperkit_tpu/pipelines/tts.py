@@ -28,27 +28,27 @@ from whisperkit_tpu.audio.output import PlaybackStrategy, crossfade
 from whisperkit_tpu.core.logging import logging
 from whisperkit_tpu.decoding.tts_loop import TTSScalars, tts_generate_loop, tts_prefill
 from whisperkit_tpu.models.qwen3_tts import (
+    CODEC_BOS,
     CODEC_EOS,
+    CODEC_PAD,
+    CODEC_THINK,
+    CODEC_THINK_BOS,
+    CODEC_THINK_EOS,
+    DEFAULT_SPEAKER,
+    DEFAULT_TTS_LANGUAGE,
     OUTPUT_SAMPLE_RATE,
     SAMPLES_PER_FRAME,
+    SPEAKERS,
+    TTS_LANGUAGES,
     Qwen3TTSDims,
     TINY_TTS_DIMS,
     init_tts_params,
     speech_decoder_forward,
 )
 
-# Reference: Qwen3Models.swift:88-150 — 9 named speakers; the token ids here
-# index reserved rows at the top of the text-embedding table.
-SPEAKERS = {
-    name: i
-    for i, name in enumerate(
-        ["vivian", "ryan", "serena", "dylan", "eric", "aiden", "uma", "ono", "sohee"]
-    )
-}
-LANGUAGES = [
-    "english", "chinese", "spanish", "french", "german", "italian",
-    "portuguese", "japanese", "korean", "russian",
-]
+# kept as module aliases for callers; values are CODEC-track token ids
+# (Qwen3Models.swift:88-174), not text-vocab rows
+LANGUAGES = list(TTS_LANGUAGES)
 
 
 @dataclasses.dataclass
@@ -160,27 +160,17 @@ class HFTTSTokenizer:
     def encode(self, text: str) -> list[int]:
         return [t for t in self.tok.encode(text).ids if t < self.vocab_size]
 
-    def _special(self, token: str, fallback: int) -> int:
-        tid = self.tok.token_to_id(token)
-        return tid if tid is not None and tid < self.vocab_size else fallback
-
-    def speaker_token(self, voice: str) -> int:
-        return self._special(f"<|voice:{voice.lower()}|>", 1 + SPEAKERS[voice.lower()])
-
-    def language_token(self, language: str) -> int:
-        return self._special(
-            f"<|lang:{language.lower()}|>", 16 + LANGUAGES.index(language.lower())
-        )
-
 
 class ByteFallbackTokenizer:
     """Offline text tokenizer: UTF-8 bytes (+reserved control rows).
 
     Real Qwen BPE loads from a checkpoint's tokenizer.json when present
     (reference vendors the Qwen tokenizer; TTSTokenizer.swift:10-45).
+    Speaker/language control ids are CODEC-track tokens (Qwen3Models.swift)
+    resolved by the pipeline, not text tokens.
     """
 
-    RESERVED = 64  # rows reserved for speaker/language/control tokens
+    RESERVED = 64  # rows reserved for control tokens
 
     def __init__(self, vocab_size: int):
         self.vocab_size = vocab_size
@@ -191,12 +181,6 @@ class ByteFallbackTokenizer:
             for b in text.encode("utf-8")
             if self.RESERVED + b < self.vocab_size
         ]
-
-    def speaker_token(self, voice: str) -> int:
-        return 1 + SPEAKERS[voice.lower()]
-
-    def language_token(self, language: str) -> int:
-        return 16 + LANGUAGES.index(language.lower())
 
 
 class TTSPromptCache:
@@ -311,32 +295,91 @@ class TTSPipeline:
         return cls(**kwargs)
 
     # -- prompt building ----------------------------------------------------
+    #
+    # The prompt is DUAL-TRACK (Qwen3GenerateTask.swift:683-744
+    # `buildCombinedEmbeddings`): every position is a text-track embedding
+    # plus a codec-track embedding. Layout per chunk:
+    #
+    #   [instr tokens]           text: "<|im_start|>user\n{i}<|im_end|>\n"   codec: —
+    #   [role tokens]            text: "<|im_start|>assistant\n"             codec: —
+    #   [5 control positions]    text: textPAD x5                            codec: think, thinkBos, <lang>, thinkEos, <speaker>
+    #   [1 position]             text: textBOS                               codec: codecPAD
+    #   [1 variable position]    text: first text token                      codec: codecBOS
+    #
+    # The remaining text tokens feed ONE PER FRAME during generation
+    # (trailing_text). Everything except the variable position is the
+    # prompt-cacheable invariant prefix (buildPromptCache :746-790).
 
-    def _prefix_tokens(self, options: GenerationOptions) -> list[int]:
-        """Voice/language/instruction prefix — the prompt-cacheable part."""
-        toks: list[int] = []
-        if options.voice:
-            toks.append(self.tokenizer.speaker_token(options.voice))
-        if options.language:
-            toks.append(self.tokenizer.language_token(options.language))
-        if options.instruction:
-            toks.extend(self.tokenizer.encode(options.instruction))
-        return toks
+    _ROLE_PREFIX = "<|im_start|>assistant\n"
 
-    def _prompt_tokens(self, text: str, options: GenerationOptions) -> list[int]:
-        toks = self._prefix_tokens(options) + self.tokenizer.encode(text)
-        return toks or [0]
+    def _speaker_id(self, voice: Optional[str]) -> int:
+        v = (voice or DEFAULT_SPEAKER).lower()
+        if v not in SPEAKERS:
+            logging.error(f"unknown voice {v!r}; falling back to {DEFAULT_SPEAKER}")
+        return SPEAKERS.get(v, SPEAKERS[DEFAULT_SPEAKER])
 
-    def _embed(self, token_rows: list[list[int]]) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Left-pad heterogeneous rows; returns (embeds [B,P,D], pad counts
-        [B]) — pads are masked from attention by the generation loop."""
-        max_len = max(len(r) for r in token_rows)
-        padded = np.zeros((len(token_rows), max_len), np.int32)
-        pads = np.zeros(len(token_rows), np.int32)
-        for i, r in enumerate(token_rows):
-            padded[i, max_len - len(r):] = r
-            pads[i] = max_len - len(r)
-        return self.params["text_embed"][jnp.asarray(padded)], jnp.asarray(pads)
+    def _language_id(self, language: Optional[str]) -> int:
+        lang = (language or DEFAULT_TTS_LANGUAGE).lower()
+        return TTS_LANGUAGES.get(lang, TTS_LANGUAGES[DEFAULT_TTS_LANGUAGE])
+
+    def _chunk_tracks(
+        self, text: str, options: GenerationOptions
+    ) -> tuple[list[int], list[int], list[int], int]:
+        """→ (text_track, codec_track with -1 = no codec embed,
+        trailing_text, step_cap) for one chunk."""
+        d = self.dims
+        text_ids = self.tokenizer.encode(text) or [d.text_pad]
+        role_ids = self.tokenizer.encode(self._ROLE_PREFIX)
+        instr_ids = (
+            self.tokenizer.encode(
+                f"<|im_start|>user\n{options.instruction}<|im_end|>\n"
+            )
+            if options.instruction
+            else []
+        )
+        codec_ids = [
+            CODEC_THINK, CODEC_THINK_BOS, self._language_id(options.language),
+            CODEC_THINK_EOS, self._speaker_id(options.voice), CODEC_PAD,
+            CODEC_BOS,
+        ]
+        text_track = (
+            instr_ids + role_ids + [d.text_pad] * (len(codec_ids) - 2)
+            + [d.text_bos, text_ids[0]]
+        )
+        codec_track = [-1] * (len(instr_ids) + len(role_ids)) + codec_ids
+        # 8x prompt-size frame budget (Qwen3GenerateTask.swift:358-370)
+        step_cap = 8 * (len(role_ids) + len(text_ids))
+        return text_track, codec_track, text_ids[1:], step_cap
+
+    def _embed_tracks(
+        self, rows: list[tuple[list[int], list[int]]]
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Left-pad heterogeneous (text, codec) rows; returns (embeds
+        [B,P,D], pad counts [B]) — pads are masked from attention by the
+        generation loop."""
+        max_len = max(len(t) for t, _ in rows)
+        text = np.full((len(rows), max_len), self.dims.text_pad, np.int32)
+        codec = np.full((len(rows), max_len), -1, np.int32)
+        pads = np.zeros(len(rows), np.int32)
+        for i, (t, c) in enumerate(rows):
+            text[i, max_len - len(t):] = t
+            codec[i, max_len - len(c):] = c
+            pads[i] = max_len - len(t)
+        temb = self.params["text_embed"][jnp.asarray(text)]
+        cemb = jnp.where(
+            jnp.asarray(codec >= 0)[:, :, None],
+            self.params["code_embed"][jnp.asarray(np.maximum(codec, 0))],
+            0,
+        )
+        return temb + cemb, jnp.asarray(pads)
+
+    def _trailing_array(self, rows: list[list[int]]) -> jnp.ndarray:
+        """Pad trailing text tokens with textPAD (+1 guaranteed PAD col)."""
+        tt = max((len(r) for r in rows), default=0) + 1
+        arr = np.full((len(rows), tt), self.dims.text_pad, np.int32)
+        for i, r in enumerate(rows):
+            arr[i, : len(r)] = r
+        return jnp.asarray(arr)
 
     # -- generation ---------------------------------------------------------
 
@@ -374,22 +417,35 @@ class TTSPipeline:
             )
             if hit is not None:
                 cached_kv, cached_len = hit
+        tracks = [self._chunk_tracks(c, options) for c in chunks]
         if cached_len:
-            token_rows = [self.tokenizer.encode(c) or [0] for c in chunks]
+            # invariant prefix restored from KV: only the variable position
+            # (first text token + codecBOS) prefills per chunk
+            rows = [(t[-1:], c[-1:]) for t, c, _, _ in tracks]
         else:
-            token_rows = [self._prompt_tokens(c, options) for c in chunks]
+            rows = [(t, c) for t, c, _, _ in tracks]
+        trailing_rows = [tr for _, _, tr, _ in tracks]
+        caps = [cap for _, _, _, cap in tracks]
         # multi-chip: pad the chunk rows to a dp multiple (the duplicates
         # generate in parallel and are dropped at delivery) and shard
         plan = self._mesh()
         if plan is not None:
-            padded_rows = plan.pad_batch(len(token_rows))
-            token_rows = token_rows + [token_rows[-1]] * (padded_rows - len(token_rows))
-        prompt_embeds, prompt_pad = self._embed(token_rows)
+            padded_rows = plan.pad_batch(len(rows))
+            rows = rows + [rows[-1]] * (padded_rows - len(rows))
+            trailing_rows = trailing_rows + [trailing_rows[-1]] * (
+                padded_rows - len(trailing_rows)
+            )
+            caps = caps + [caps[-1]] * (padded_rows - len(caps))
+        prompt_embeds, prompt_pad = self._embed_tracks(rows)
+        trailing_text = self._trailing_array(trailing_rows)
+        step_cap = jnp.asarray(caps, jnp.int32)
         if plan is not None:
             from whisperkit_tpu.parallel.mesh import shard_batch
 
             prompt_embeds = shard_batch(plan, prompt_embeds)
             prompt_pad = shard_batch(plan, prompt_pad)
+            trailing_text = shard_batch(plan, trailing_text)
+            step_cap = shard_batch(plan, step_cap)
         timings.tokenize_seconds = time.perf_counter() - t0
         timings.chunks = len(chunks)
 
@@ -409,6 +465,8 @@ class TTSPipeline:
             cached_kv=cached_kv,
             cached_len=cached_len,
             prompt_pad=prompt_pad,
+            trailing_text=trailing_text,
+            step_cap=step_cap,
         )
         codes = np.asarray(out.codes)
         n_frames = np.asarray(out.n_frames)
@@ -440,17 +498,17 @@ class TTSPipeline:
     # -- prompt cache -------------------------------------------------------
 
     def build_prompt_cache(self, options: GenerationOptions) -> None:
-        """Prefill the voice/language/instruction prefix once and snapshot
-        its KV (reference: TTSKit.swift:609-683)."""
-        prefix = self._prefix_tokens(options)
-        if not prefix:
-            return
-        embeds, _ = self._embed([prefix])
-        kv = tts_prefill(
-            self.params, embeds, dims=self.dims, max_seq=len(prefix),
-        )
+        """Prefill the invariant prefix (instruction + role + control
+        tokens; everything except the variable firstText+codecBOS position)
+        once and snapshot its KV (reference: TTSKit.swift:609-683,
+        Qwen3GenerateTask.swift:746-790 dropLast)."""
+        text_track, codec_track, _, _ = self._chunk_tracks("", options)
+        rows = [(text_track[:-1], codec_track[:-1])]
+        embeds, _ = self._embed_tracks(rows)
+        plen = embeds.shape[1]
+        kv = tts_prefill(self.params, embeds, dims=self.dims, max_seq=plen)
         self.prompt_cache.put(
-            options.voice, options.language, options.instruction, kv, len(prefix)
+            options.voice, options.language, options.instruction, kv, plen
         )
 
     # -- streaming playback -------------------------------------------------
@@ -525,11 +583,6 @@ class TTSPipeline:
         thread.start()
         return engine, thread
 
-    # receptive field of the dilated-conv vocoder, in frames; streamed
-    # blocks are vocoded with this much left context so block boundaries
-    # are sample-exact vs whole-utterance decoding
-    _VOCODER_CONTEXT_FRAMES = 64
-
     def stream_blocks(
         self,
         text: str,
@@ -541,22 +594,33 @@ class TTSPipeline:
         vocoded+yielded as soon as its codes exist — time-to-first-buffer is
         one prefill + one short segment, not the whole utterance
         (reference: `.stream` PlaybackStrategy, TTSKit.swift:994-1063).
+        The vocoder streams through a Code2WavCache (transformer KV +
+        rolling 16-frame hidden context — the reference SpeechDecoderCache,
+        KVCache.swift:159-210), sample-exact vs whole-utterance decoding.
 
         Streams the text as ONE chunk (batch 1)."""
         from whisperkit_tpu.decoding.tts_loop import (
             tts_generate_segment,
             tts_prefill_state,
         )
-        from whisperkit_tpu.models.qwen3_tts import CODEC_EOS
+        from whisperkit_tpu.models.qwen3_tts import (
+            C2W_CONTEXT_FRAMES,
+            CODEC_EOS,
+            code2wav_decode_block,
+            init_code2wav_cache,
+        )
 
         options = options or GenerationOptions()
-        tokens = self._prompt_tokens(text, options)
-        embeds, pad = self._embed([tokens])
+        text_track, codec_track, trailing, cap = self._chunk_tracks(text, options)
+        embeds, pad = self._embed_tracks([(text_track, codec_track)])
+        trailing_text = self._trailing_array([trailing])
+        step_cap = jnp.asarray([min(cap, options.max_new_tokens)], jnp.int32)
         # +block_frames headroom: the final segment may overrun max_new
         # before its done-mask settles
-        max_seq = len(tokens) + options.max_new_tokens + 1 + block_frames
+        max_seq = len(text_track) + options.max_new_tokens + 1 + block_frames
         state = tts_prefill_state(
-            self.params, embeds, jax.random.PRNGKey(options.seed),
+            self.params, embeds, trailing_text, step_cap,
+            jax.random.PRNGKey(options.seed),
             dims=self.dims, max_seq=max_seq, prompt_pad=pad,
         )
         scalars = TTSScalars(
@@ -564,7 +628,11 @@ class TTSPipeline:
             repetition_penalty=jnp.float32(options.repetition_penalty),
             rng_key=jax.random.PRNGKey(options.seed),
         )
-        ctx = np.zeros((1, 0, 16), np.int32)
+        voc_cache = init_code2wav_cache(
+            self.dims.c2w, 1,
+            max_frames=options.max_new_tokens + block_frames,
+            dtype=self.params["c2w"]["ln_f"].dtype,
+        )
         produced = 0
         while produced < options.max_new_tokens:
             n = min(block_frames, options.max_new_tokens - produced)
@@ -576,15 +644,12 @@ class TTSPipeline:
             valid = int((codes_np[0, :, 0] != CODEC_EOS).sum())
             if valid == 0:
                 break
-            block = codes_np[:, :valid]
-            with_ctx = np.concatenate([ctx, block], axis=1)
-            wave = np.asarray(
-                speech_decoder_forward(
-                    self.params, jnp.asarray(with_ctx), self.dims
-                )
+            wave, voc_cache = code2wav_decode_block(
+                self.params["c2w"], jnp.asarray(codes_np[:, :valid]),
+                voc_cache, self.dims.c2w,
+                ctx_frames=min(produced, C2W_CONTEXT_FRAMES),
             )
-            yield wave[0, ctx.shape[1] * SAMPLES_PER_FRAME :]
-            ctx = with_ctx[:, -self._VOCODER_CONTEXT_FRAMES :]
+            yield np.asarray(wave)[0]
             produced += valid
             if bool(np.asarray(state.done).all()) or valid < n:
                 break

@@ -661,10 +661,19 @@ class WhisperPipeline:
             group = plan.pad_batch(group)  # dp multiple
         pad_mel = None
 
-        decodes: list[_WindowDecode] = []
+        # length-sort chunks into batches: the decode while_loop runs until
+        # the SLOWEST row finishes (decoding/loop.py cond), so batching
+        # similar-length chunks together minimizes finished-row waste
+        # (token count tracks speech duration). Results re-land at their
+        # original chunk index for segment assembly.
+        order = sorted(
+            range(len(chunks)), key=lambda i: len(chunks[i].audio_samples)
+        )
+        decodes: list[Optional[_WindowDecode]] = [None] * len(mels)
         language = options.language if options.language else None
-        for start in range(0, len(mels), group):
-            batch_mels = mels[start : start + group]
+        for start in range(0, len(order), group):
+            batch_ids = order[start : start + group]
+            batch_mels = [mels[i] for i in batch_ids]
             n_real = len(batch_mels)
             if n_real < group:  # pad to the compiled batch size
                 if pad_mel is None:
@@ -682,7 +691,8 @@ class WhisperPipeline:
             batch_decodes = self._decode_with_fallback(
                 ck, cv, options, language, start
             )[:n_real]
-            decodes.extend(batch_decodes)
+            for i, wd in zip(batch_ids, batch_decodes):
+                decodes[i] = wd
             if callback is not None:
                 progress = TranscriptionProgress(
                     timings=self.timings,
@@ -692,13 +702,16 @@ class WhisperPipeline:
                     window_id=start + n_real,
                 )
                 if callback(progress) is False:
-                    metas = metas[: len(decodes)]
                     break
-        self.timings.total_decoding_windows += len(decodes)
+        self.timings.total_decoding_windows += sum(
+            1 for wd in decodes if wd is not None
+        )
 
         all_segments: list[TranscriptionSegment] = []
         sp = self.tokenizer.special
         for (start_sample, window_frames), wd in zip(metas, decodes):
+            if wd is None:  # cancelled (callback False) before this window
+                continue
             if self._should_skip_silent(wd, options):
                 continue
             res = find_seek_point_and_segments(
