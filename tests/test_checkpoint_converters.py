@@ -348,6 +348,49 @@ def test_wespeaker_masked_embedding_selects_frames():
     np.testing.assert_allclose(e_masked, e_masked2, atol=1e-4)
 
 
+def test_pyannote_variant_matrix(tmp_path):
+    """Variant resolution (reference: PyannoteConfig.swift:11-41 W8A16/
+    W32A32 ModelInfos): w8a16 quantizes the converted checkpoints and the
+    quantized segmenter tracks fp32 within int8 tolerance."""
+    from whisperkit_tpu.pipelines.diarize import DiarizePipeline
+
+    torch.manual_seed(2)
+    seg_model = _TorchPyanNet().eval()
+    torch.save(
+        {"state_dict": {"model." + k: v for k, v in seg_model.state_dict().items()}},
+        tmp_path / "segmentation-3.0.ckpt",
+    )
+    emb_model = _TorchWeSpeakerResNet(
+        m_channels=8, blocks=(2, 2, 2, 2), n_mels=80, emb=64
+    ).eval()
+    torch.save(emb_model.state_dict(), tmp_path / "wespeaker-resnet34.bin")
+
+    from whisperkit_tpu.models import pyannet as pn
+
+    orig = pn.RESNET34_BLOCKS
+    pn.RESNET34_BLOCKS = {"layer1": 2, "layer2": 2, "layer3": 2, "layer4": 2}
+    try:
+        with pytest.raises(ValueError, match="unknown pyannote variant"):
+            DiarizePipeline.from_pretrained(str(tmp_path), variant="w4a4")
+        full = DiarizePipeline.from_pretrained(str(tmp_path), variant="w32a32")
+        q = DiarizePipeline.from_pretrained(str(tmp_path), variant="w8a16")
+        # quantization actually happened on the big weights
+        assert "w_q" in q.segmenter_params["lstms"][0]["fwd"]["wx"]
+        assert "w_q" in q.embedder_params["seg_1"]["w"]
+        audio = jnp.asarray(
+            np.random.RandomState(0).randn(1, 16000).astype(np.float32) * 0.1
+        )
+        lp_full = np.asarray(pn.pyannet_forward(full.segmenter_params, audio))
+        lp_q = np.asarray(pn.pyannet_forward(q.segmenter_params, audio))
+        assert lp_full.shape == lp_q.shape
+        # int8 weights shift log-probs slightly; the argmax class map must
+        # agree on the overwhelming majority of frames
+        agree = (lp_full.argmax(-1) == lp_q.argmax(-1)).mean()
+        assert agree > 0.95, agree
+    finally:
+        pn.RESNET34_BLOCKS = orig
+
+
 def test_diarize_pipeline_pyannet_backend_end_to_end(tmp_path):
     """Real converted checkpoints drive the full diarization pipeline:
     torch PyanNet + WeSpeaker ResNet saved to disk → from_pretrained

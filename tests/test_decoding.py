@@ -197,6 +197,76 @@ def test_decode_loop_batch_rows_independent(params, encoded):
     assert (np.asarray(both.tokens)[0] == np.asarray(single.tokens)[0]).all()
 
 
+def test_decode_loop_segmented_matches_single_dispatch(params, encoded):
+    """The resumable segmented driver (32-token host checkpoints for
+    mid-window cancellation) must reproduce decode_loop exactly."""
+    from whisperkit_tpu.decoding.loop import decode_loop_segmented
+
+    _, ck, cv = encoded
+    prompt = jnp.asarray([[SP.sot, SP.transcribe]] * 2, jnp.int32)
+    kwargs = dict(
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=11, top_k=5,
+        sot_index=0, use_timestamp_rules=True, suppress_blank=False,
+    )
+    a = decode_loop(params, ck, cv, prompt, jnp.zeros((V,)), _scalars(), **kwargs)
+    b = decode_loop_segmented(
+        params, ck, cv, prompt, jnp.zeros((V,)), _scalars(),
+        segment_tokens=4, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_allclose(
+        np.asarray(a.token_logprobs), np.asarray(b.token_logprobs), atol=1e-6
+    )
+    assert int(a.length) == int(b.length)
+
+
+def test_decode_loop_segmented_cancellation(params, encoded):
+    """should_stop polled between segments: cancelling after the first
+    segment abandons the rest of the window (≤ budget tokens decoded)."""
+    from whisperkit_tpu.decoding.loop import decode_loop_segmented
+
+    _, ck, cv = encoded
+    prompt = jnp.asarray([[SP.sot, SP.transcribe]] * 2, jnp.int32)
+    calls = []
+
+    def should_stop():
+        calls.append(1)
+        return len(calls) >= 2  # allow one more segment, then cancel
+
+    out = decode_loop_segmented(
+        params, ck, cv, prompt, jnp.zeros((V,)), _scalars(),
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=16, top_k=5,
+        sot_index=0, use_timestamp_rules=False, suppress_blank=False,
+        segment_tokens=4, should_stop=should_stop,
+    )
+    # stopped after 2 segments (8 of 16 tokens) unless EOT ended it sooner
+    assert int(out.length) <= 2 + 8
+    assert len(calls) == 2
+
+
+def test_pipeline_early_stop_flag_cancels_mid_window(params):
+    """EarlyStopFlag set before transcribe → the segmented path runs and
+    the transcription returns promptly with whatever was decoded."""
+    from whisperkit_tpu.core.concurrency import EarlyStopFlag
+    from whisperkit_tpu.core.configurations import DecodingOptions
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    pipe = WhisperPipeline(dims=DIMS, params=params)
+    pipe.early_stop_flag = EarlyStopFlag()
+    pipe.early_stop_flag.stop()
+    audio = np.random.default_rng(0).standard_normal(16000 * 3).astype(np.float32) * 0.1
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(
+            language="en", sample_length=64, temperature_fallback_count=0,
+            first_token_log_prob_threshold=None, no_speech_threshold=None,
+            logprob_threshold=None, compression_ratio_threshold=None,
+        ),
+    )
+    # at most one segment of each window decoded before the cancel landed
+    assert pipe.timings.total_decoding_loops <= 33
+
+
 def test_decode_loop_alignment_capture(params, encoded):
     _, ck, cv = encoded
     prompt = jnp.asarray([[SP.sot, SP.transcribe]], jnp.int32)

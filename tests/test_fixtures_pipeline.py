@@ -107,6 +107,65 @@ def test_qwen3_loader_round_trip(tmp_path):
     )
 
 
+def test_jfk_441khz_resample_quality(pipe, resources):
+    """jfk_441khz.m4a exercises the native decoder's 44.1 kHz → 16 kHz
+    resample path (reference: UnitTests.swift resample coverage). The
+    resampled audio must align with the 16 kHz wav within resampler + AAC
+    tolerance, and the pipeline must produce equivalent structure."""
+    from whisperkit_tpu.audio.io import load_audio
+
+    path = resources / "jfk_441khz.m4a"
+    if not path.exists():
+        pytest.skip("fixture missing")
+    hi = load_audio(path)
+    lo = load_audio(resources / "jfk.wav")
+    # same program: durations match within 50 ms
+    assert abs(len(hi) - len(lo)) < 16000 * 0.05
+    n = min(len(hi), len(lo))
+    # energy envelope correlation (sample-exact match is impossible across
+    # AAC + resampler): 0.1 s RMS frames
+    def env(x):
+        m = (len(x) // 1600) * 1600
+        return np.sqrt((x[:m].reshape(-1, 1600) ** 2).mean(1))
+
+    e_hi, e_lo = env(hi[:n]), env(lo[:n])
+    corr = np.corrcoef(e_hi, e_lo)[0, 1]
+    assert corr > 0.99, corr
+    res_hi = pipe.transcribe(hi, DecodingOptions(sample_length=6, language="en"))
+    res_lo = pipe.transcribe(lo, DecodingOptions(sample_length=6, language="en"))
+    assert len(res_hi.segments) == len(res_lo.segments)
+
+
+def test_ted_60_multi_window_seek(pipe, resources):
+    """ted_60.m4a (60 s) must run ≥2 seek windows with monotonic,
+    in-range segment times (reference: UnitTests.swift:295-477 exercises
+    the multi-window seek loop on this fixture)."""
+    from whisperkit_tpu.audio.io import load_audio
+
+    path = resources / "ted_60.m4a"
+    if not path.exists():
+        pytest.skip("fixture missing")
+    audio = load_audio(path)
+    assert len(audio) > 16000 * 55
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(sample_length=8, language="en", chunking_strategy="none"),
+    )
+    assert res.timings.total_decoding_windows >= 2
+    times = [(s.start, s.end) for s in res.segments]
+    assert all(0.0 <= a <= b <= 61.0 for a, b in times)
+    # window starts are non-decreasing across the seek loop
+    starts = [s.start for s in res.segments]
+    assert all(b >= a - 1e-6 for a, b in zip(starts, starts[1:]))
+    # VAD-chunked path on the same audio also covers multiple windows
+    res_vad = pipe.transcribe(
+        audio,
+        DecodingOptions(sample_length=8, language="en", chunking_strategy="vad"),
+    )
+    assert res_vad.timings.total_decoding_windows >= 2
+    assert all(0.0 <= s.start <= s.end <= 61.0 for s in res_vad.segments)
+
+
 def test_es_ja_clips_full_pipeline(pipe, resources):
     """ES/JA fixture clips through the full pipeline (structural checks —
     random weights; the reference's ES/JA decode tests use real models)."""

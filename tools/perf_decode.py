@@ -1,0 +1,145 @@
+"""Decode per-step cost attribution (VERDICT r2 weak #1 / next #3).
+
+Measures the MARGINAL per-step cost of the jitted decode while_loop at
+b=32 large-v3-turbo shapes via the (N_long - N_short) / (steps) delta, for
+a ladder of static-flag ablation variants that all compile the SAME
+while_loop structure (no scan-of-forwards — the relay compiler hangs on
+that, git 89a8551):
+
+  base          greedy sampler, timestamp rules ON (production config)
+  rules_off     timestamp rules + suppress-blank off
+  argmax        sampler reduced to bare argmax ("sampler")
+  vocab_small   51866-row vocab projection -> 1024 rows ("vocab")
+  no_cross      cross-attention removed ("cross")
+  no_kv_update  self-attention reads a stale cache, no dynamic_update_slice
+  no_self       self-attention removed entirely
+  skeleton      cross+self+vocab+sampler+rules all off -> loop floor
+
+Attribution of component X = step(base) - step(base minus X). Run on the
+real chip: python tools/perf_decode.py [--batch 32] [--variant large-v3-turbo]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--variant", default=None)
+    ap.add_argument("--short", type=int, default=32)
+    ap.add_argument("--long", dest="long_", type=int, default=160)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from whisperkit_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from whisperkit_tpu.decoding.loop import DecodeScalars, decode_loop, encode_window
+    from whisperkit_tpu.models.whisper import VARIANT_DIMS, init_params
+    from whisperkit_tpu.ops.mel import log_mel_spectrogram
+    from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    variant = args.variant or ("large-v3-turbo" if on_tpu else "tiny")
+    batch = args.batch if on_tpu else 2
+    dims = VARIANT_DIMS[variant]
+    sp = special_tokens_for_vocab(dims.n_vocab)
+    params = init_params(jax.random.PRNGKey(0), dims)
+
+    audio = jax.random.normal(jax.random.PRNGKey(1), (batch, 480_000)) * 0.1
+    mel = log_mel_spectrogram(audio, n_mels=dims.n_mels)
+    _, ck, cv = encode_window(params, mel, dims)
+    ck, cv = jax.block_until_ready((ck, cv))
+    ck_q = cv_q = None
+    from whisperkit_tpu.ops.quant import quantize_cross_kv
+
+    ck_q, cv_q = jax.block_until_ready(quantize_cross_kv(ck, cv))
+    prompt = jnp.asarray([[sp.sot, sp.transcribe]] * batch, jnp.int32)
+    # EOT suppressed so every variant runs its full budget (random weights
+    # would otherwise stop at data-dependent steps and skew the delta)
+    suppress = jnp.zeros((dims.n_vocab,), np.float32).at[sp.eot].set(-np.inf)
+
+    def run(n_steps: int, rules: bool, ablate: tuple, seed: int, quant=False) -> float:
+        scalars = DecodeScalars(
+            temperature=jnp.float32(0.0),
+            max_initial_timestamp_index=jnp.int32(50),
+            first_token_logprob_threshold=jnp.float32(float("-inf")),
+            rng_key=jax.random.PRNGKey(seed),
+        )
+        out = decode_loop(
+            params, ck_q if quant else ck, cv_q if quant else cv,
+            prompt, suppress, scalars,
+            dims=dims, special=sp, sample_begin=2, max_new_tokens=n_steps,
+            top_k=5, sot_index=0, use_timestamp_rules=rules,
+            suppress_blank=False, ablate=ablate,
+        )
+        t0 = time.perf_counter()
+        np.asarray(out.tokens)  # forced host transfer (CLAUDE.md timing note)
+        return time.perf_counter() - t0
+
+    variants = [
+        ("base", True, ()),
+        ("rules_off", False, ()),
+        ("argmax", True, ("sampler",)),
+        ("vocab_small", True, ("vocab",)),
+        ("no_cross", True, ("cross",)),
+        ("no_kv_update", True, ("kv_update",)),
+        ("no_self", True, ("self",)),
+        ("skeleton", False, ("cross", "self", "vocab", "sampler")),
+    ]
+
+    variants.append(("int8_cross_kv", True, ()))
+
+    results = {}
+    for name, rules, ablate in variants:
+        quant = name == "int8_cross_kv"
+        per_step = []
+        run(args.short, rules, ablate, 0, quant)  # compile both shapes
+        run(args.long_, rules, ablate, 0, quant)
+        for i in range(args.iters):
+            ts = run(args.short, rules, ablate, i + 1, quant)
+            tl = run(args.long_, rules, ablate, i + 1, quant)
+            per_step.append((tl - ts) / (args.long_ - args.short))
+        ms = float(np.median(per_step) * 1000)
+        results[name] = ms
+        print(f"{name:14s} {ms:7.3f} ms/step", flush=True)
+
+    base = results["base"]
+    print("\n| component | ms/step | share of base |")
+    print("|---|---|---|")
+    rows = [
+        ("timestamp rules", base - results["rules_off"]),
+        ("sampler (top-k machinery)", base - results["argmax"]),
+        ("vocab projection (51866 vs 1024)", base - results["vocab_small"]),
+        ("cross-attention", base - results["no_cross"]),
+        ("self-attn KV write", base - results["no_kv_update"]),
+        ("self-attention (all)", base - results["no_self"]),
+        ("loop skeleton (residual)", results["skeleton"]),
+    ]
+    for name, ms in rows:
+        print(f"| {name} | {ms:.3f} | {100 * ms / base:.0f}% |")
+    accounted = (
+        (base - results["rules_off"]) + (base - results["argmax"])
+        + (base - results["vocab_small"]) + (base - results["no_cross"])
+        + (base - results["no_self"]) + results["skeleton"]
+    )
+    print(f"| TOTAL attributed | {accounted:.3f} | {100 * accounted / base:.0f}% |")
+    print(json.dumps({"batch": batch, "variant": variant, **{k: round(v, 3) for k, v in results.items()}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,24 @@ class DecodeLoopOutput(NamedTuple):
     alignment: Optional[jnp.ndarray]  # [TOTAL, B, A, 1500] f32 or None
 
 
+class DecodeState(NamedTuple):
+    """Resumable mid-window decode state — one jitted segment advances it
+    by ≤ n_steps tokens, so the host can check cancellation/progress every
+    K tokens instead of only at window boundaries (the reference's
+    per-token TranscriptionCallback granularity, Models.swift:643-728,
+    recovered at segment granularity)."""
+
+    pos: jnp.ndarray  # scalar i32: next write index
+    tokens: jnp.ndarray  # [B, TOTAL]
+    token_logprobs: jnp.ndarray  # [B, TOTAL]
+    kv_k: jnp.ndarray
+    kv_v: jnp.ndarray
+    done: jnp.ndarray  # [B]
+    last_logits: jnp.ndarray  # [B, V]
+    key: jnp.ndarray
+    align: jnp.ndarray  # [TOTAL, B, A, F] or the uncarried placeholder
+
+
 class PrefillState(NamedTuple):
     """Prompt-pass results, reusable across the temperature-fallback ladder.
 
@@ -149,6 +167,7 @@ def prefill_window(
         "suppress_blank",
         "special",
         "alignment_heads",
+        "ablate",
     ),
 )
 def decode_loop(
@@ -169,6 +188,9 @@ def decode_loop(
     suppress_blank: bool,
     alignment_heads: Optional[tuple] = None,  # tuple of (layer, head) or None
     prefill: Optional[PrefillState] = None,  # reuse across fallback rungs
+    ablate: tuple = (),  # static perf-attribution switches (see
+    # models/whisper.decoder_forward); "sampler" additionally reduces
+    # sampling to a bare argmax. Production callers leave this empty.
 ) -> DecodeLoopOutput:
     b, p = prompt.shape
     assert p == sample_begin
@@ -189,11 +211,38 @@ def decode_loop(
     no_speech_prob = prefill.no_speech_prob
     last_logits = prefill.last_logits
 
+    state = _init_decode_state(
+        prompt, prefill, cross_k, scalars.rng_key,
+        special=special, max_new_tokens=max_new_tokens,
+        alignment_heads=alignment_heads,
+    )
+    state = decode_segment(
+        params, cross_k, cross_v, suppress_bias, scalars, state,
+        dims=dims, special=special, sample_begin=sample_begin, total=total,
+        n_steps=max_new_tokens, top_k=top_k,
+        use_timestamp_rules=use_timestamp_rules, suppress_blank=suppress_blank,
+        alignment_heads=alignment_heads, ablate=ablate,
+    )
+    return DecodeLoopOutput(
+        tokens=state.tokens,
+        token_logprobs=state.token_logprobs,
+        length=state.pos,
+        no_speech_prob=no_speech_prob,
+        alignment=state.align if capture else None,
+    )
+
+
+def _init_decode_state(
+    prompt, prefill: PrefillState, cross_k, rng_key, *, special, max_new_tokens,
+    alignment_heads,
+) -> DecodeState:
+    b, p = prompt.shape
+    total = p + max_new_tokens
+    capture = alignment_heads is not None
     tokens = jnp.concatenate(
         [prompt.astype(jnp.int32), jnp.full((b, max_new_tokens), special.eot, jnp.int32)],
         axis=1,
     )
-    token_logprobs = jnp.zeros((b, total), jnp.float32)
     if capture:
         # int8 cross-KV arrives as a {"q8","scale"} dict (ops/quant.py)
         ck_frames = (
@@ -205,6 +254,50 @@ def decode_loop(
         )
     else:
         align = jnp.zeros((1, 1, 1, 1), jnp.float32)  # placeholder, uncarried shape
+    return DecodeState(
+        pos=jnp.asarray(p, jnp.int32),
+        tokens=tokens,
+        token_logprobs=jnp.zeros((b, total), jnp.float32),
+        kv_k=prefill.kv_k,
+        kv_v=prefill.kv_v,
+        done=jnp.zeros((b,), bool),
+        last_logits=prefill.last_logits,
+        key=rng_key,
+        align=align,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "special", "sample_begin", "total", "n_steps", "top_k",
+        "use_timestamp_rules", "suppress_blank", "alignment_heads", "ablate",
+    ),
+)
+def decode_segment(
+    params,
+    cross_k,
+    cross_v,
+    suppress_bias: jnp.ndarray,
+    scalars: DecodeScalars,
+    state: DecodeState,
+    *,
+    dims: WhisperDims,
+    special: SpecialTokens,
+    sample_begin: int,
+    total: int,
+    n_steps: int,
+    top_k: int,
+    use_timestamp_rules: bool,
+    suppress_blank: bool,
+    alignment_heads: Optional[tuple] = None,
+    ablate: tuple = (),
+) -> DecodeState:
+    """Advance the decode while_loop by ≤ n_steps tokens (resumable)."""
+    b = state.tokens.shape[0]
+    capture = alignment_heads is not None
+    heads_np = np.asarray(alignment_heads, np.int32) if capture else None
+    seg_end = jnp.minimum(state.pos + n_steps, total)
 
     def apply_filters(logits_f, tokens_buf, pos):
         logits_f = logits_f + suppress_bias[None, :]
@@ -218,16 +311,20 @@ def decode_loop(
             )
         return logits_f
 
-    def cond(state):
-        pos, done = state[0], state[4]
-        return (pos < total) & ~jnp.all(done)
+    def cond(st: DecodeState):
+        return (st.pos < seg_end) & ~jnp.all(st.done)
 
-    def body(state):
-        pos, tokens, tlp, (kv_k, kv_v), done, last_logits, key, align = state
+    def body(st: DecodeState):
+        pos, tokens, tlp = st.pos, st.tokens, st.token_logprobs
+        kv_k, kv_v, done, key, align = st.kv_k, st.kv_v, st.done, st.key, st.align
 
-        filtered = apply_filters(last_logits, tokens, pos)
+        filtered = apply_filters(st.last_logits, tokens, pos)
         key, sub = jax.random.split(key)
-        token, logprob = sample_token(filtered, scalars.temperature, sub, top_k)
+        if "sampler" in ablate:  # perf attribution: bare argmax
+            token = jnp.argmax(filtered, -1).astype(jnp.int32)
+            logprob = jnp.zeros((b,), jnp.float32)
+        else:
+            token, logprob = sample_token(filtered, scalars.temperature, sub, top_k)
 
         # stop checks (reference TextDecoder.swift:662-678): EOT, context cap
         # (loop bound), first-token logprob floor.
@@ -243,33 +340,81 @@ def decode_loop(
 
         logits, (kv_k, kv_v), cross_probs = decoder_forward(
             params, token[:, None], pos, kv_k, kv_v, cross_k, cross_v, dims,
-            capture_alignment=capture,
+            capture_alignment=capture, ablate=ablate,
         )
         if capture:
             align = jax.lax.dynamic_update_slice(
                 align, _gather_alignment(cross_probs, heads_np), (pos, 0, 0, 0)
             )
-        return (pos + 1, tokens, tlp, (kv_k, kv_v), done, logits[:, -1], key, align)
+        return DecodeState(
+            pos + 1, tokens, tlp, kv_k, kv_v, done, logits[:, -1], key, align
+        )
 
-    state = (
-        jnp.asarray(sample_begin, jnp.int32),
-        tokens,
-        token_logprobs,
-        (kv_k, kv_v),
-        jnp.zeros((b,), bool),
-        last_logits,
-        scalars.rng_key,
-        align,
+    return jax.lax.while_loop(cond, body, state)
+
+
+def decode_loop_segmented(
+    params,
+    cross_k,
+    cross_v,
+    prompt: jnp.ndarray,
+    suppress_bias: jnp.ndarray,
+    scalars: DecodeScalars,
+    *,
+    dims: WhisperDims,
+    special: SpecialTokens,
+    sample_begin: int,
+    max_new_tokens: int,
+    top_k: int,
+    sot_index: int,
+    use_timestamp_rules: bool,
+    suppress_blank: bool,
+    alignment_heads: Optional[tuple] = None,
+    prefill: Optional[PrefillState] = None,
+    segment_tokens: int = 32,
+    should_stop=None,  # host callable () -> bool, polled between segments
+) -> DecodeLoopOutput:
+    """decode_loop with HOST checkpoints every `segment_tokens` tokens.
+
+    Recovers the reference's mid-window cancellation (EarlyStopActor via
+    TranscriptionCallback, Models.swift:643-728, TextDecoder.swift:733-756)
+    at ~segment granularity: between jitted segments the host polls
+    `should_stop` and breaks out, abandoning at most segment_tokens of
+    work. All segments share ONE compiled shape (the in-graph bound is
+    min(pos + n, total)). Cancelled rows keep the tokens decoded so far
+    (the buffer is EOT-padded)."""
+    total = sample_begin + max_new_tokens
+    capture = alignment_heads is not None
+    if prefill is None:
+        prefill = prefill_window(
+            params, cross_k, cross_v, prompt,
+            dims=dims, special=special, sample_begin=sample_begin,
+            max_new_tokens=max_new_tokens, sot_index=sot_index,
+            alignment_heads=alignment_heads,
+        )
+    state = _init_decode_state(
+        prompt, prefill, cross_k, scalars.rng_key,
+        special=special, max_new_tokens=max_new_tokens,
+        alignment_heads=alignment_heads,
     )
-    pos, tokens, token_logprobs, _, done, _, _, align = jax.lax.while_loop(
-        cond, body, state
-    )
+    for _ in range(-(-max_new_tokens // segment_tokens)):
+        state = decode_segment(
+            params, cross_k, cross_v, suppress_bias, scalars, state,
+            dims=dims, special=special, sample_begin=sample_begin,
+            total=total, n_steps=segment_tokens, top_k=top_k,
+            use_timestamp_rules=use_timestamp_rules,
+            suppress_blank=suppress_blank, alignment_heads=alignment_heads,
+        )
+        if bool(np.asarray(jnp.all(state.done))):
+            break
+        if should_stop is not None and should_stop():
+            break
     return DecodeLoopOutput(
-        tokens=tokens,
-        token_logprobs=token_logprobs,
-        length=pos,
-        no_speech_prob=no_speech_prob,
-        alignment=align if capture else None,
+        tokens=state.tokens,
+        token_logprobs=state.token_logprobs,
+        length=state.pos,
+        no_speech_prob=prefill.no_speech_prob,
+        alignment=state.align if capture else None,
     )
 
 

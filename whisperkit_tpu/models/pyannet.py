@@ -104,10 +104,22 @@ def _max_pool1d(x: jnp.ndarray, k: int):
     return x[..., :t].reshape(*x.shape[:-1], t // k, k).max(-1)
 
 
+def _w(w, dtype=None):
+    """Resolve a weight leaf, dequantizing W8A16 dicts ({"w_q" int8,
+    "scale"}) — the reference ships W8A16/W32A32 pyannote variants
+    (PyannoteConfig.swift:11-41); ours come from
+    ops/quant.quantize_speaker_params."""
+    if isinstance(w, dict) and "w_q" in w:
+        d = dtype or w["scale"].dtype
+        return w["w_q"].astype(d) * w["scale"].astype(d)
+    return w if dtype is None else w.astype(dtype)
+
+
 def _conv1d_valid(x, w, b=None, stride=1):
     """x [B, C, T], w [O, I, K], VALID padding (torch default padding=0)."""
     y = jax.lax.conv_general_dilated(
-        x, w, (stride,), "VALID", dimension_numbers=("NCH", "OIH", "NCH")
+        x, _w(w, x.dtype), (stride,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
     )
     if b is not None:
         y = y + b[None, :, None]
@@ -120,6 +132,7 @@ def _lstm_dir(x, wx, wh, b):
     x [B, T, D] → [B, T, H]. wx [D, 4H] (pre-transposed), wh [H, 4H], b [4H].
     """
     bsz, _, _ = x.shape
+    wx, wh = _w(wx, x.dtype), _w(wh, x.dtype)  # dequant once, outside the scan
     h = wh.shape[0]
     xw = jnp.einsum("btd,dg->btg", x, wx) + b
 
@@ -173,8 +186,8 @@ def pyannet_forward(params: PyTree, audio: jnp.ndarray) -> jnp.ndarray:
     for lp in params["lstms"]:
         x = _bilstm_layer(x, lp)
     for lin in params["linears"]:
-        x = jax.nn.leaky_relu(x @ lin["w"] + lin["b"], 0.01)
-    logits = x @ params["cls"]["w"] + params["cls"]["b"]  # [B, F, 7]
+        x = jax.nn.leaky_relu(x @ _w(lin["w"], x.dtype) + lin["b"], 0.01)
+    logits = x @ _w(params["cls"]["w"], x.dtype) + params["cls"]["b"]  # [B, F, 7]
     return jax.nn.log_softmax(logits, axis=-1)
 
 
@@ -277,6 +290,7 @@ def convert_pyannote_segmentation(state_dict: Mapping[str, np.ndarray]) -> PyTre
 
 def _conv2d_same(x, w, b=None, stride=1):
     """x [B, C, H, W], w [O, I, kh, kw], torch padding=1 for 3×3 / 0 for 1×1."""
+    w = _w(w, x.dtype)
     kh, kw = w.shape[2], w.shape[3]
     pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
     y = jax.lax.conv_general_dilated(
@@ -317,7 +331,7 @@ def wespeaker_resnet_forward(params: PyTree, fbank: jnp.ndarray) -> jnp.ndarray:
     mean = feat.mean(-1)
     std = jnp.sqrt(jnp.clip(((feat - mean[..., None]) ** 2).mean(-1), 1e-7))
     stats = jnp.concatenate([mean, std], axis=-1)  # [B, 2*C*H]
-    return stats @ params["seg_1"]["w"] + params["seg_1"]["b"]
+    return stats @ _w(params["seg_1"]["w"], stats.dtype) + params["seg_1"]["b"]
 
 
 def _fold_bn(conv_w, conv_b, bn_w, bn_b, bn_mean, bn_var, eps=1e-5):
@@ -469,4 +483,4 @@ def wespeaker_embed_masked(
     mean8 = (feat * w).sum(-1) / denom8
     var8 = ((feat - mean8[..., None]) ** 2 * w).sum(-1) / denom8
     stats = jnp.concatenate([mean8, jnp.sqrt(jnp.clip(var8, 1e-7))], axis=-1)
-    return stats @ params["seg_1"]["w"] + params["seg_1"]["b"]
+    return stats @ _w(params["seg_1"]["w"], stats.dtype) + params["seg_1"]["b"]

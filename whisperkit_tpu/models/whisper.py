@@ -369,6 +369,13 @@ def decoder_forward(
     dims: WhisperDims,
     capture_alignment: bool = False,
     alignment_heads: Optional[jnp.ndarray] = None,  # [A, 2] (layer, head)
+    ablate: tuple = (),  # static perf-attribution switches (tools/
+    # perf_decode.py): "self" drops self-attention, "kv_update" keeps
+    # self-attention but skips the cache write, "cross" drops
+    # cross-attention, "vocab" projects logits from a 1024-row slice of the
+    # embedding (padded back to V). Production callers leave this empty —
+    # every branch is static, so the default compiles to the same program
+    # as before.
 ):
     """Run T tokens through the decoder, updating the KV cache at
     [pos_offset, pos_offset+T). Works for prefill (T=prompt) and step (T=1).
@@ -394,21 +401,28 @@ def decoder_forward(
 
     def block(x, layer_inputs):
         bp, kk, vv, ck, cv = layer_inputs
+        cross_probs = None
         # self-attention with cache update
-        h = layer_norm(x, bp["attn_ln"])
-        q = _split_heads(dense(h, bp["attn"]["q"]), n_head)
-        k_new = _split_heads(dense(h, bp["attn"]["k"]), n_head)
-        v_new = _split_heads(dense(h, bp["attn"]["v"]), n_head)
-        kk = jax.lax.dynamic_update_slice(kk, k_new.astype(kk.dtype), (0, 0, pos_offset, 0))
-        vv = jax.lax.dynamic_update_slice(vv, v_new.astype(vv.dtype), (0, 0, pos_offset, 0))
-        attn = _attend(q, kk, vv, mask)
-        x = x + dense(_merge_heads(attn), bp["attn"]["out"])
+        if "self" not in ablate:
+            h = layer_norm(x, bp["attn_ln"])
+            q = _split_heads(dense(h, bp["attn"]["q"]), n_head)
+            k_new = _split_heads(dense(h, bp["attn"]["k"]), n_head)
+            v_new = _split_heads(dense(h, bp["attn"]["v"]), n_head)
+            if "kv_update" not in ablate:
+                kk = jax.lax.dynamic_update_slice(kk, k_new.astype(kk.dtype), (0, 0, pos_offset, 0))
+                vv = jax.lax.dynamic_update_slice(vv, v_new.astype(vv.dtype), (0, 0, pos_offset, 0))
+            attn = _attend(q, kk, vv, mask)
+            x = x + dense(_merge_heads(attn), bp["attn"]["out"])
 
         # cross-attention (K/V precomputed; optionally int8-quantized)
-        h = layer_norm(x, bp["cross_attn_ln"])
-        cq = _split_heads(dense(h, bp["cross_attn"]["q"]), n_head)
-        cross_out, cross_probs = _cross_attend(cq, ck, cv, capture_probs=True)
-        x = x + dense(_merge_heads(cross_out), bp["cross_attn"]["out"])
+        if "cross" not in ablate:
+            h = layer_norm(x, bp["cross_attn_ln"])
+            cq = _split_heads(dense(h, bp["cross_attn"]["q"]), n_head)
+            cross_out, cross_probs = _cross_attend(cq, ck, cv, capture_probs=True)
+            x = x + dense(_merge_heads(cross_out), bp["cross_attn"]["out"])
+        elif capture_alignment:
+            ck_frames = ck["q8"].shape[2] if isinstance(ck, dict) else ck.shape[2]
+            cross_probs = jnp.zeros((b, n_head, t, ck_frames), jnp.float32)
 
         # mlp
         h = layer_norm(x, bp["mlp_ln"])
@@ -421,13 +435,58 @@ def decoder_forward(
         x, (kk, vv, probs) = block(x, (bp, kk, vv, ck, cv))
         return x, (kk, vv, probs)
 
-    x, (kv_k, kv_v, cross_probs) = jax.lax.scan(
-        scan_block, x, (dec["blocks"], kv_k, kv_v, cross_k, cross_v)
-    )
+    if t == 1 and not capture_alignment:
+        # Single-token step: unroll the layer loop and write each layer's
+        # new K/V directly into the stacked cache at (layer, :, :, pos, :).
+        # The scan path re-emits the WHOLE per-layer cache as stacked scan
+        # outputs every step, which XLA cannot alias in place — measured
+        # 1.43 ms/step of pure copy at b=32 turbo (29% of the step,
+        # tools/perf_decode.py); the unrolled direct update removes it.
+        for li in range(dims.n_text_layer):
+            bp = jax.tree.map(lambda a: a[li], dec["blocks"])
+            ck = jax.tree.map(lambda a: a[li], cross_k)
+            cv = jax.tree.map(lambda a: a[li], cross_v)
+            h = layer_norm(x, bp["attn_ln"])
+            q = _split_heads(dense(h, bp["attn"]["q"]), n_head)
+            if "self" not in ablate:
+                k_new = _split_heads(dense(h, bp["attn"]["k"]), n_head)
+                v_new = _split_heads(dense(h, bp["attn"]["v"]), n_head)
+                if "kv_update" not in ablate:
+                    kv_k = jax.lax.dynamic_update_slice(
+                        kv_k, k_new[None].astype(kv_k.dtype), (li, 0, 0, pos_offset, 0)
+                    )
+                    kv_v = jax.lax.dynamic_update_slice(
+                        kv_v, v_new[None].astype(kv_v.dtype), (li, 0, 0, pos_offset, 0)
+                    )
+                attn = _attend(q, kv_k[li], kv_v[li], mask)
+                x = x + dense(_merge_heads(attn), bp["attn"]["out"])
+            if "cross" not in ablate:
+                h = layer_norm(x, bp["cross_attn_ln"])
+                cq = _split_heads(dense(h, bp["cross_attn"]["q"]), n_head)
+                cross_out = _cross_attend(cq, ck, cv, capture_probs=False)
+                x = x + dense(_merge_heads(cross_out), bp["cross_attn"]["out"])
+            h = layer_norm(x, bp["mlp_ln"])
+            x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        cross_probs = None
+    else:
+        x, (kv_k, kv_v, cross_probs) = jax.lax.scan(
+            scan_block, x, (dec["blocks"], kv_k, kv_v, cross_k, cross_v)
+        )
     x = layer_norm(x, dec["ln"])
-    logits = jnp.einsum(
-        "btd,vd->btv", x, dec["token_embed"],
-        precision=_prec(x, dec["token_embed"]),
-        preferred_element_type=jnp.float32,
-    )
+    if "vocab" in ablate:  # perf attribution: 1/50th-size projection
+        small = jnp.einsum(
+            "btd,vd->btv", x, dec["token_embed"][:1024],
+            precision=_prec(x, dec["token_embed"]),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.pad(
+            small, ((0, 0), (0, 0), (0, dims.n_vocab - 1024)),
+            constant_values=-1e4,
+        )
+    else:
+        logits = jnp.einsum(
+            "btd,vd->btv", x, dec["token_embed"],
+            precision=_prec(x, dec["token_embed"]),
+            preferred_element_type=jnp.float32,
+        )
     return logits, (kv_k, kv_v), cross_probs

@@ -123,6 +123,51 @@ def quantize_tts_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
     return out
 
 
+def quantize_conv_weight(w: jnp.ndarray) -> dict:
+    """Conv weight [O, ...] → {"w_q" int8, "scale" [O,1,…]} (symmetric,
+    per-output-channel; scale keeps trailing singleton axes so the dequant
+    broadcasts in place)."""
+    w32 = w.astype(jnp.float32)
+    axes = tuple(range(1, w.ndim))
+    max_abs = jnp.max(jnp.abs(w32), axis=axes, keepdims=True)
+    scale = jnp.maximum(max_abs / 127.0, 1e-8)
+    w_q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"w_q": w_q, "scale": scale.astype(jnp.bfloat16)}
+
+
+# speaker-model weight keys: [in, out] matmuls vs [O, I, K…] convs
+_SPEAKER_MATMUL_KEYS = {"wx", "wh"}
+_SPEAKER_CONV_PARENTS = {"conv1", "conv2", "down", "sinc"}
+
+
+def quantize_speaker_params(params: PyTree, min_size: int = 1 << 12) -> PyTree:
+    """W8A16-quantize a PyanNet / WeSpeaker param tree: LSTM input/recurrent
+    kernels, linear/classifier weights, and (BN-folded) conv kernels.
+    Norm affines, biases, and the materialized sinc filterbank stay float
+    (the sinc filters are analytically derived, not learned weights in our
+    materialized form). Reference: the W8A16 pyannote variants in
+    PyannoteConfig.swift:11-41."""
+
+    def walk(node, key=None, parent=None):
+        if isinstance(node, dict):
+            if "w_q" in node:
+                return node  # already quantized
+            return {k: walk(v, k, key) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, key, parent) for v in node)
+        if not hasattr(node, "ndim") or node.size < min_size:
+            return node
+        if key in _SPEAKER_MATMUL_KEYS and node.ndim == 2:
+            return quantize_weight(node)
+        if key == "w" and node.ndim == 2:  # linears/cls/seg_1 {"w","b"}
+            return quantize_weight(node)
+        if key == "w" and node.ndim in (3, 4) and parent != "sinc":
+            return quantize_conv_weight(node)
+        return node
+
+    return walk(params)
+
+
 def quantize_cross_kv(cross_k: jnp.ndarray, cross_v: jnp.ndarray):
     """int8-quantize per-window cross-attention K/V [L,B,H,S,Dh] with
     per-channel (Dh) scales — the decode loop's bandwidth floor; consumed by

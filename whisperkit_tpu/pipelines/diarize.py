@@ -165,8 +165,19 @@ class DiarizePipeline:
             rows = np.concatenate([rows, pad])
         return shard_batch(plan, jnp.asarray(rows)), n_real
 
+    # Variant matrix (reference: PyannoteConfig.swift:11-41 — per-platform
+    # W8A16 / W32A32 ModelInfos). w8a16 quantizes LSTM kernels, linears, and
+    # BN-folded convs via ops/quant.quantize_speaker_params; the sinc
+    # filterbank, norms and biases stay float.
+    VARIANTS = ("w32a32", "w16a16", "w8a16")
+
     @classmethod
-    def from_pretrained(cls, model_folder: Optional[str] = None, **kwargs):
+    def from_pretrained(
+        cls,
+        model_folder: Optional[str] = None,
+        variant: str = "w32a32",
+        **kwargs,
+    ):
         """Load checkpoint params when available; random init otherwise.
 
         Recognized layouts inside `model_folder` (docs/PARITY.md
@@ -176,7 +187,29 @@ class DiarizePipeline:
             `*wespeaker*/embedder*.{bin,safetensors,ckpt}` (ResNet34),
             converted via models/pyannet.py; or
           * pre-converted npz pairs `segmenter.npz` / `embedder.npz`.
+
+        `variant` selects the precision recipe (VARIANTS), mirroring the
+        reference's per-platform variant resolution.
         """
+        if variant not in cls.VARIANTS:
+            raise ValueError(f"unknown pyannote variant {variant!r}; one of {cls.VARIANTS}")
+
+        def apply_variant(params):
+            import jax.numpy as jnp
+
+            if variant == "w16a16":
+                return jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
+                    else x,
+                    params,
+                )
+            if variant == "w8a16":
+                from whisperkit_tpu.ops.quant import quantize_speaker_params
+
+                return quantize_speaker_params(params)
+            return params
+
         if model_folder:
             folder = Path(model_folder)
 
@@ -202,8 +235,12 @@ class DiarizePipeline:
                 )
 
                 return cls(
-                    segmenter_params=load_pyannote_segmentation(seg_ckpt),
-                    embedder_params=load_wespeaker_resnet34(emb_ckpt),
+                    segmenter_params=apply_variant(
+                        load_pyannote_segmentation(seg_ckpt)
+                    ),
+                    embedder_params=apply_variant(
+                        load_wespeaker_resnet34(emb_ckpt)
+                    ),
                     **kwargs,
                 )
             seg = folder / "segmenter.npz"
@@ -214,8 +251,8 @@ class DiarizePipeline:
                     return data["params"].item()
 
                 return cls(
-                    segmenter_params=load_npz(seg),
-                    embedder_params=load_npz(emb),
+                    segmenter_params=apply_variant(load_npz(seg)),
+                    embedder_params=apply_variant(load_npz(emb)),
                     **kwargs,
                 )
             logging.error(f"no pyannote params in {model_folder}; using random init")

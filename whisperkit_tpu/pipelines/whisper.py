@@ -107,6 +107,12 @@ class WhisperPipeline:
         self._suppress_cache: dict[tuple, jnp.ndarray] = {}
         self._detected_language: Optional[str] = None
         self._mesh_plan = None  # lazily built when >1 device is visible
+        # optional cross-thread cancellation (core/concurrency.EarlyStopFlag
+        # or anything with .should_stop). When set, greedy decodes run as
+        # resumable ~32-token segments and the flag is polled between them —
+        # the reference's mid-window TranscriptionCallback cancellation
+        # (Models.swift:643-728) at segment granularity.
+        self.early_stop_flag = None
 
         if params is not None and dims is not None:
             if tokenizer is None:
@@ -384,13 +390,8 @@ class WhisperPipeline:
                     length_penalty=options.length_penalty,
                 )
             else:
-                out = decode_loop(
-                    self.params,
-                    cross_k,
-                    cross_v,
-                    prompt_arr,
-                    suppress,
-                    scalars,
+                flag = self.early_stop_flag
+                decode_kwargs = dict(
                     dims=self.dims,
                     special=sp,
                     sample_begin=len(prompt),
@@ -402,6 +403,19 @@ class WhisperPipeline:
                     alignment_heads=align_heads,
                     prefill=get_prefill(),
                 )
+                if flag is not None:
+                    from whisperkit_tpu.decoding.loop import decode_loop_segmented
+
+                    out = decode_loop_segmented(
+                        self.params, cross_k, cross_v, prompt_arr, suppress,
+                        scalars, should_stop=lambda: flag.should_stop,
+                        **decode_kwargs,
+                    )
+                else:
+                    out = decode_loop(
+                        self.params, cross_k, cross_v, prompt_arr, suppress,
+                        scalars, **decode_kwargs,
+                    )
             tokens_np = np.asarray(out.tokens)
             lps_np = np.asarray(out.token_logprobs)
             nsp_np = np.asarray(out.no_speech_prob)
