@@ -65,6 +65,21 @@ def test_log_mel_batched(padded_jfk):
     assert np.abs(out[0] - single).max() < 1e-4
 
 
+def test_log_mel_pallas_matches_xla(padded_jfk):
+    """The fused Pallas kernel (framing + DFT + mel + log in one VMEM
+    chain; band-split partial dots instead of an in-kernel concat) must
+    match the XLA path. Runs in interpret mode on CPU; compiled on TPU."""
+    import jax.numpy as jnp
+
+    from whisperkit_tpu.ops.mel import log_mel_spectrogram_pallas
+
+    batch = jnp.stack([jnp.asarray(padded_jfk), jnp.asarray(padded_jfk) * 0.3])
+    a = np.asarray(log_mel_spectrogram(batch, n_mels=80))
+    b = np.asarray(log_mel_spectrogram_pallas(batch, n_mels=80))
+    # band-split partial dots accumulate in a different order: ~3e-5 noise
+    np.testing.assert_allclose(a, b, atol=5e-5)
+
+
 def test_log_mel_value_range(padded_jfk):
     # Whisper normalization (x+4)/4 with 8-decade clamp keeps values in a
     # known band: floor = (max_log - 8 + 4)/4, values above floor

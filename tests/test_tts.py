@@ -83,6 +83,58 @@ def test_speech_decoder_output(params):
     assert np.abs(wave).max() <= 1.0  # tanh-bounded
 
 
+def test_dual_track_prompt_layout():
+    """Prompt structure mirrors Qwen3GenerateTask.swift:683-744: role text
+    tokens, 5 textPADs over the codec control ids, textBOS over codecPAD,
+    first text token over codecBOS; trailing text feeds per-frame."""
+    from whisperkit_tpu.models.qwen3_tts import (
+        CODEC_BOS,
+        CODEC_PAD,
+        CODEC_THINK,
+        CODEC_THINK_BOS,
+        CODEC_THINK_EOS,
+        SPEAKERS,
+        TTS_LANGUAGES,
+    )
+
+    pipe = TTSPipeline()
+    opts = GenerationOptions(voice="serena", language="japanese")
+    text_track, codec_track, trailing, cap = pipe._chunk_tracks("Hello world", opts)
+    d = pipe.dims
+    role = pipe.tokenizer.encode(pipe._ROLE_PREFIX)
+    text_ids = pipe.tokenizer.encode("Hello world")
+    assert text_track[: len(role)] == role
+    assert codec_track[: len(role)] == [-1] * len(role)
+    assert text_track[len(role): len(role) + 5] == [d.text_pad] * 5
+    assert codec_track[len(role):] == [
+        CODEC_THINK, CODEC_THINK_BOS, TTS_LANGUAGES["japanese"],
+        CODEC_THINK_EOS, SPEAKERS["serena"], CODEC_PAD, CODEC_BOS,
+    ]
+    assert text_track[-2:] == [d.text_bos, text_ids[0]]
+    assert trailing == text_ids[1:]
+    assert cap == 8 * (len(role) + len(text_ids))
+
+
+def test_unknown_voice_falls_back_to_default():
+    from whisperkit_tpu.models.qwen3_tts import SPEAKERS, DEFAULT_SPEAKER
+
+    pipe = TTSPipeline()
+    assert pipe._speaker_id("nonexistent-voice") == SPEAKERS[DEFAULT_SPEAKER]
+    assert pipe._speaker_id("uncle-fu") == SPEAKERS["uncle-fu"]
+
+
+def test_step_cap_limits_generation(params):
+    """The 8x-prompt frame budget (Qwen3GenerateTask.swift:358-370) stops
+    rows even when EOS never samples."""
+    embeds = jnp.zeros((1, 4, TINY_TTS_DIMS.d_model))
+    out = tts_generate_loop(
+        params, embeds, _scalars(temp=0.0), dims=TINY_TTS_DIMS,
+        max_new_tokens=12, top_k=5,
+        step_cap=jnp.asarray([3], jnp.int32),
+    )
+    assert int(np.asarray(out.n_frames)[0]) <= 3
+
+
 def test_text_chunker():
     c = TextChunker()
     text = "First sentence here. Second one follows! Third is a bit longer? Fourth."

@@ -39,6 +39,7 @@ def main() -> None:
     ap.add_argument("--short", type=int, default=32)
     ap.add_argument("--long", dest="long_", type=int, default=160)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--int8", action="store_true", help="measure the int8 cross-KV variant too")
     args = ap.parse_args()
 
     import jax
@@ -64,10 +65,14 @@ def main() -> None:
     mel = log_mel_spectrogram(audio, n_mels=dims.n_mels)
     _, ck, cv = encode_window(params, mel, dims)
     ck, cv = jax.block_until_ready((ck, cv))
+    # int8 copies double the cross-KV residency (OOM at large-v3 b=16);
+    # only materialize them when the variant will run
+    with_int8 = variant == "large-v3-turbo" or args.int8
     ck_q = cv_q = None
-    from whisperkit_tpu.ops.quant import quantize_cross_kv
+    if with_int8:
+        from whisperkit_tpu.ops.quant import quantize_cross_kv
 
-    ck_q, cv_q = jax.block_until_ready(quantize_cross_kv(ck, cv))
+        ck_q, cv_q = jax.block_until_ready(quantize_cross_kv(ck, cv))
     prompt = jnp.asarray([[sp.sot, sp.transcribe]] * batch, jnp.int32)
     # EOT suppressed so every variant runs its full budget (random weights
     # would otherwise stop at data-dependent steps and skew the delta)
@@ -102,7 +107,8 @@ def main() -> None:
         ("skeleton", False, ("cross", "self", "vocab", "sampler")),
     ]
 
-    variants.append(("int8_cross_kv", True, ()))
+    if with_int8:
+        variants.append(("int8_cross_kv", True, ()))
 
     results = {}
     for name, rules, ablate in variants:

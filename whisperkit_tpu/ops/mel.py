@@ -156,20 +156,42 @@ _BLOCK_T = 200  # frames per grid step; 3000 % 200 == 0 and 200 % 8 == 0
 # (TPU lowering requires the block's second-to-last dim divisible by 8)
 
 
-def _mel_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref):
-    """One grid step: fused DFT + power + mel + log10 for a block of
-    _BLOCK_T frames of one batch row — one VMEM-resident chain instead of
-    three HBM-materialized intermediates (real/imag/power).
+def _mel_kernel(rows_ref, cos_ref, sin_ref, mel_ref, out_ref):
+    """One grid step: fused FRAMING + DFT + power + mel + log10 for a block
+    of _BLOCK_T frames of one batch row — one VMEM-resident chain instead
+    of HBM-materialized frames/real/imag/power.
 
-    Framing happens outside in XLA (the hop-row reshape trick): an earlier
-    design DMA'd the raw signal from HBM inside the kernel, but ANY-space
-    manual-DMA kernels are rejected by this environment's remote Mosaic
-    compiler; plain BlockSpecs compile everywhere.
+    Framing inside the kernel: the padded signal arrives reshaped to hop
+    rows [T+2, 160] (a free XLA reshape); the whole row array is one VMEM
+    block (1.9 MB), and each grid step slices its _BLOCK_T+2 rows with
+    pl.ds and assembles [_BLOCK_T, 400] frames by concat — 400 = 2·160+80,
+    so a frame is two full hop rows plus half the next. No manual DMA (the
+    remote Mosaic compiler rejects ANY-space DMA kernels); plain BlockSpecs
+    compile everywhere.
     """
+    import jax.experimental.pallas as pl
+
     hi = jax.lax.Precision.HIGHEST
-    f = frames_ref[0]
-    real = jnp.dot(f, cos_ref[:], precision=hi, preferred_element_type=jnp.float32)
-    imag = jnp.dot(f, sin_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    j = pl.program_id(1)
+    rows = rows_ref[0, pl.ds(j * _BLOCK_T, _BLOCK_T + 2), :]  # [bt+2, 160]
+    # frame f_t = [rows_t, rows_{t+1}, rows_{t+2}[:80]]; instead of a concat
+    # (this Mosaic version rejects "offset mismatch on non-concat
+    # dimension"), split each DFT matmul into three partial dots over the
+    # basis row bands — algebraically identical
+    r0 = rows[:_BLOCK_T]
+    r1 = rows[1 : _BLOCK_T + 1]
+    r2 = rows[2 : _BLOCK_T + 2, : N_FFT - 2 * HOP_LENGTH]
+
+    def band_dot(m_ref):
+        m = m_ref[:]
+        return (
+            jnp.dot(r0, m[:HOP_LENGTH], precision=hi, preferred_element_type=jnp.float32)
+            + jnp.dot(r1, m[HOP_LENGTH : 2 * HOP_LENGTH], precision=hi, preferred_element_type=jnp.float32)
+            + jnp.dot(r2, m[2 * HOP_LENGTH :], precision=hi, preferred_element_type=jnp.float32)
+        )
+
+    real = band_dot(cos_ref)
+    imag = band_dot(sin_ref)
     power = real * real + imag * imag
     mel = jnp.dot(power, mel_ref[:], precision=hi, preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log10(jnp.maximum(mel, 1e-10))
@@ -179,11 +201,9 @@ def _mel_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref):
 def log_mel_spectrogram_pallas(
     audio: jnp.ndarray, n_mels: int = 80, n_frames: int = N_FRAMES
 ) -> jnp.ndarray:
-    """Fused Pallas version of `log_mel_spectrogram` (identical numerics).
-
-    Validated on v5e: bit-close to the XLA path (<2e-5) at parity speed for
-    b=16 (the pipeline is indifferent; both are ~3% of end-to-end time).
-    """
+    """Fused Pallas version of `log_mel_spectrogram` (identical numerics),
+    with framing fused into the kernel (VERDICT r2 #7). Measured numbers:
+    docs/BENCHMARKS.md (tools/perf_mel.py)."""
     from jax.experimental import pallas as pl
 
     squeeze = audio.ndim == 1
@@ -195,20 +215,28 @@ def log_mel_spectrogram_pallas(
 
     b = audio.shape[0]
     padded = jax.vmap(_reflect_pad)(audio.astype(jnp.float32))
-    frames = jax.vmap(lambda p: _frame_signal(p, n_frames))(padded)  # [B,T,400]
+    # hop rows [B, T+2, 160]: a reshape, not a materialized frame tensor
+    rows_needed = n_frames + 2
+    total = rows_needed * HOP_LENGTH
+    padded = jnp.concatenate(
+        [padded, jnp.zeros((b, max(0, total - padded.shape[1])), padded.dtype)],
+        axis=1,
+    )[:, :total]
+    rows = padded.reshape(b, rows_needed, HOP_LENGTH)
 
     log_mel = pl.pallas_call(
         _mel_kernel,
         grid=(b, n_frames // _BLOCK_T),
         in_specs=[
-            pl.BlockSpec((1, _BLOCK_T, N_FFT), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, rows_needed, HOP_LENGTH), lambda i, j: (i, 0, 0)),
             pl.BlockSpec(cos_m.shape, lambda i, j: (0, 0)),
             pl.BlockSpec(sin_m.shape, lambda i, j: (0, 0)),
             pl.BlockSpec(mel_w.shape, lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, _BLOCK_T, n_mels), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_frames, n_mels), jnp.float32),
-    )(frames, cos_m, sin_m, mel_w)
+        interpret=jax.devices()[0].platform == "cpu",  # CPU tests
+    )(rows, cos_m, sin_m, mel_w)
 
     # per-row dynamic-range clamp + whisper normalization
     row_max = log_mel.max(axis=(1, 2), keepdims=True)
