@@ -17,8 +17,9 @@ continuity. Quality-triggered fallback re-decodes are disabled (random
 text would trip the compression-ratio ladder on every window, which real
 speech does not).
 
-Model: Whisper large-v3-turbo shapes on TPU, `tiny` + 1 minute on CPU (so
-the script stays runnable anywhere).
+Model: Whisper large-v3 (the north-star model) on TPU, with turbo and the
+quantized serving configs (int8 cross-KV, W8A16+int8-KV) as secondaries;
+`tiny` + 1 minute on CPU (so the script stays runnable anywhere).
 """
 
 from __future__ import annotations
@@ -93,17 +94,24 @@ def main() -> None:
             concurrent_worker_count=group,
         )
 
-    def run_pipeline(variant_name: str, group: int, int8_kv: bool = False):
+    def run_pipeline(
+        variant_name: str, group: int, int8_kv: bool = False, w8a16: bool = False
+    ):
         """→ (rtf, n_segments, decode_loops, windows); frees the pipeline's
         device buffers before returning so runs don't contend for HBM."""
         from whisperkit_tpu.core.configurations import ComputeOptions, WhisperConfig
 
         dims_v = VARIANT_DIMS[variant_name]
+        params_v = init_params(jax.random.PRNGKey(0), dims_v)
+        if w8a16:  # the reference ships quantized variants as first-class
+            from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+            params_v = quantize_whisper_params(params_v)
         pipe = WhisperPipeline(
             WhisperConfig(
                 compute_options=ComputeOptions(quantize_cross_kv=int8_kv)
             ),
-            dims=dims_v, params=init_params(jax.random.PRNGKey(0), dims_v),
+            dims=dims_v, params=params_v,
         )
         options = pipeline_options(group)
         pipe.transcribe(audio[: 16_000 * 60], options)  # warmup/compile
@@ -132,9 +140,10 @@ def main() -> None:
     params = init_params(jax.random.PRNGKey(0), dims)
 
     # ---- secondaries: int8-KV serving mode + turbo (r2 headline) -----------
-    turbo_rtf = int8_rtf = None
+    turbo_rtf = int8_rtf = quant_rtf = None
     if on_tpu:
         int8_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True)
+        quant_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True, w8a16=True)
         turbo_rtf, _, _, _ = run_pipeline("large-v3-turbo", 32)
 
     # ---- secondary: round-1 32-token microbench (continuity) ---------------
@@ -183,6 +192,10 @@ def main() -> None:
     if int8_rtf is not None:
         secondary[f"pipeline_rtf_{variant}_int8kv_vad_{int(audio_minutes)}min"] = round(
             int8_rtf, 5
+        )
+    if quant_rtf is not None:
+        secondary[f"pipeline_rtf_{variant}_w8a16_int8kv_vad_{int(audio_minutes)}min"] = round(
+            quant_rtf, 5
         )
     print(
         json.dumps(

@@ -34,6 +34,21 @@ def test_model_support_fallback_matrix():
     assert "large-v3" not in cpu.supported
 
 
+def test_model_support_parses_reference_fixture_configs(resources):
+    """The real config-v0{2,3,4}.json fixtures (the reference's remote
+    device-support configs, UnitTests.swift:35-293) must parse and resolve:
+    iPhone11-class devices cap at base; newer rows append over fallback."""
+    for version in (2, 3, 4):
+        p = resources / f"config-v0{version}.json"
+        if not p.exists():
+            pytest.skip("fixture missing")
+        cfg = ModelSupportConfig.from_json(p)
+        ms = cfg.model_support("iPhone11")
+        assert ms.default == "openai_whisper-tiny"
+        assert "openai_whisper-base" in ms.supported
+        assert all(d.models.supported for d in cfg.device_supports)
+
+
 def test_model_support_remote_merge(tmp_path):
     remote = {
         "deviceSupports": [

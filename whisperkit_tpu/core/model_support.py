@@ -63,11 +63,13 @@ class ModelSupportConfig:
     @classmethod
     def from_json(cls, path: Path | str) -> "ModelSupportConfig":
         """Parse a repo `config.json` and merge over the fallback matrix
-        (reference: fetchModelSupportConfig, WhisperKit.swift:181-217)."""
+        (reference: fetchModelSupportConfig, WhisperKit.swift:181-217).
+        Accepts both the published `device_support` key (config-v02..v04
+        fixtures, Tests/WhisperKitTests/Resources/) and `deviceSupports`."""
         with open(path) as f:
             data = json.load(f)
         rows = []
-        for row in data.get("deviceSupports", []):
+        for row in data.get("deviceSupports", data.get("device_support", [])):
             ms = row.get("models", {})
             rows.append(
                 DeviceSupport(

@@ -435,13 +435,14 @@ def decoder_forward(
         x, (kk, vv, probs) = block(x, (bp, kk, vv, ck, cv))
         return x, (kk, vv, probs)
 
-    if t == 1 and not capture_alignment:
+    if t == 1:
         # Single-token step: unroll the layer loop and write each layer's
         # new K/V directly into the stacked cache at (layer, :, :, pos, :).
         # The scan path re-emits the WHOLE per-layer cache as stacked scan
         # outputs every step, which XLA cannot alias in place — measured
         # 1.43 ms/step of pure copy at b=32 turbo (29% of the step,
         # tools/perf_decode.py); the unrolled direct update removes it.
+        probs_layers = []
         for li in range(dims.n_text_layer):
             bp = jax.tree.map(lambda a: a[li], dec["blocks"])
             ck = jax.tree.map(lambda a: a[li], cross_k)
@@ -463,11 +464,13 @@ def decoder_forward(
             if "cross" not in ablate:
                 h = layer_norm(x, bp["cross_attn_ln"])
                 cq = _split_heads(dense(h, bp["cross_attn"]["q"]), n_head)
-                cross_out = _cross_attend(cq, ck, cv, capture_probs=False)
+                cross_out, probs = _cross_attend(cq, ck, cv, capture_probs=True)
                 x = x + dense(_merge_heads(cross_out), bp["cross_attn"]["out"])
+                if capture_alignment:
+                    probs_layers.append(probs)
             h = layer_norm(x, bp["mlp_ln"])
             x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
-        cross_probs = None
+        cross_probs = jnp.stack(probs_layers) if probs_layers else None
     else:
         x, (kv_k, kv_v, cross_probs) = jax.lax.scan(
             scan_block, x, (dec["blocks"], kv_k, kv_v, cross_k, cross_v)
