@@ -174,11 +174,18 @@ def quantize_cross_kv(cross_k: jnp.ndarray, cross_v: jnp.ndarray):
     models/whisper._cross_attend's int8 MXU path."""
 
     def q(x):
-        x32 = x.astype(jnp.float32)
-        scale = jnp.maximum(
-            jnp.abs(x32).max(axis=-2, keepdims=True) / 127.0, 1e-8
-        )
-        q8 = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+        # per-LAYER map: a whole-tensor f32 astype would transiently double
+        # the ~4 GB large-v3 b=16 cross-KV and OOM the chip; scanning over
+        # the leading layer axis caps the f32 transient at one layer
+        def per_layer(xl):
+            x32 = xl.astype(jnp.float32)
+            scale = jnp.maximum(
+                jnp.abs(x32).max(axis=-2, keepdims=True) / 127.0, 1e-8
+            )
+            q8 = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+            return q8, scale
+
+        q8, scale = jax.lax.map(per_layer, x)
         return {"q8": q8, "scale": scale}
 
     return q(cross_k), q(cross_v)
