@@ -95,6 +95,31 @@ def test_pipeline_beam_option():
     assert res.segments
 
 
+def test_pipeline_beam_rung_then_greedy_fallback():
+    """Temperature ladder with beam rung 0: random-init text trips the
+    compression-ratio threshold, so rung 0 (beam, t=0) falls back to a
+    greedy sampled rung — the lazy prefill must materialize exactly then
+    (ADVICE r2: beam-mode rung 0 must not pay for a prefill it can't
+    consume) and the pipeline must return a result either way."""
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    pipe = WhisperPipeline(dims=DIMS, params=params)
+    rng = np.random.default_rng(6)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(
+            sample_length=8, language="en", beam_size=2,
+            temperature_fallback_count=2,
+            compression_ratio_threshold=0.1,  # everything "fails" quality
+            logprob_threshold=None, no_speech_threshold=None,
+            first_token_log_prob_threshold=None,
+        ),
+    )
+    assert res.segments
+    # ladder actually ran: at least one fallback re-decode was counted
+    assert pipe.timings.total_decoding_fallbacks >= 1
+
+
 def test_beam_exhaustive_optimality_two_steps():
     """With beam width == vocab and EOT suppressed, two beam steps are an
     exhaustive search: the winner must equal the brute-force argmax over
