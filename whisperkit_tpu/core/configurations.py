@@ -105,10 +105,16 @@ class ComputeOptions:
     logits_dtype: str = "float32"
     quantization: Optional[str] = None  # "w8a16" = int8 linear weights
     # (the reference's quantized model variants, fastlane/Fastfile:26-55)
-    quantize_cross_kv: bool = False  # int8 decode cross-KV. Isolated
-    # cross-attention measures -33%/step, but inside the current while_loop
-    # it's NEUTRAL (the loop is not cross-KV-bound yet) — opt-in, kept for
-    # when the remaining loop overhead is removed (docs/BENCHMARKS.md)
+    quantize_cross_kv: bool = False  # int8 decode cross-KV: a real −19%
+    # per-step win since the r3 unrolled KV update (2.42 → 1.95 ms/step at
+    # b=32 turbo; docs/BENCHMARKS.md) at ~2.6% activation error — opt-in
+    # serving mode
+    segmented_decode: bool = False  # run greedy decodes as resumable
+    # ~32-token segments with finished-row batch COMPACTION between them
+    # (real speech finishes at ~50-80 of 224 tokens; the slowest row no
+    # longer sets everyone's cost). Costs one small host sync per segment,
+    # so it is an opt-in serving mode; mid-window cancellation
+    # (early_stop_flag) activates the segmented path implicitly.
     mesh_axes: tuple[str, ...] = ("dp", "tp")
     dp_size: Optional[int] = None  # None = infer from devices
     tp_size: int = 1

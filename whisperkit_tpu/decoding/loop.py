@@ -373,6 +373,7 @@ def decode_loop_segmented(
     prefill: Optional[PrefillState] = None,
     segment_tokens: int = 32,
     should_stop=None,  # host callable () -> bool, polled between segments
+    compact: bool = False,
 ) -> DecodeLoopOutput:
     """decode_loop with HOST checkpoints every `segment_tokens` tokens.
 
@@ -380,9 +381,15 @@ def decode_loop_segmented(
     TranscriptionCallback, Models.swift:643-728, TextDecoder.swift:733-756)
     at ~segment granularity: between jitted segments the host polls
     `should_stop` and breaks out, abandoning at most segment_tokens of
-    work. All segments share ONE compiled shape (the in-graph bound is
-    min(pos + n, total)). Cancelled rows keep the tokens decoded so far
-    (the buffer is EOT-padded)."""
+    work. All segments share ONE compiled shape per batch size (the
+    in-graph bound is min(pos + n, total)). Cancelled rows keep the tokens
+    decoded so far (the buffer is EOT-padded).
+
+    With `compact=True`, finished rows stop burning compute: whenever the
+    active rows fit in half the batch, the state (KV, cross-KV, buffers)
+    is gathered down to the next power-of-two batch — real speech finishes
+    at ~50-80 of 224 tokens, so the slowest row no longer sets everyone's
+    cost (VERDICT r2 weak #2). Each halved size compiles once."""
     total = sample_begin + max_new_tokens
     capture = alignment_heads is not None
     if prefill is None:
@@ -397,7 +404,23 @@ def decode_loop_segmented(
         special=special, max_new_tokens=max_new_tokens,
         alignment_heads=alignment_heads,
     )
-    for _ in range(-(-max_new_tokens // segment_tokens)):
+    b0 = prompt.shape[0]
+    # rows[i] = original index of current row i; None entries = pad rows
+    rows: list[Optional[int]] = list(range(b0))
+    # per-original-row final host buffers, filled when a row is compacted
+    # out (or at the end)
+    final_tokens = np.empty((b0, total), np.int32)
+    final_tlp = np.empty((b0, total), np.float32)
+    align_store: dict[int, np.ndarray] = {}
+
+    def bank(idx_current: int, orig: int, st: DecodeState) -> None:
+        final_tokens[orig] = np.asarray(st.tokens[idx_current])
+        final_tlp[orig] = np.asarray(st.token_logprobs[idx_current])
+        if capture:
+            align_store[orig] = np.asarray(st.align[:, idx_current])
+
+    n_segments = -(-max_new_tokens // segment_tokens)
+    for seg in range(n_segments):
         state = decode_segment(
             params, cross_k, cross_v, suppress_bias, scalars, state,
             dims=dims, special=special, sample_begin=sample_begin,
@@ -405,16 +428,71 @@ def decode_loop_segmented(
             use_timestamp_rules=use_timestamp_rules,
             suppress_blank=suppress_blank, alignment_heads=alignment_heads,
         )
-        if bool(np.asarray(jnp.all(state.done))):
+        done_np = np.asarray(state.done)
+        if done_np.all():
             break
         if should_stop is not None and should_stop():
             break
+        if not compact or seg >= n_segments - 2:
+            continue
+        active = [i for i, r in enumerate(rows) if r is not None and not done_np[i]]
+        b_cur = len(rows)
+        b_new = max(1, 1 << (len(active) - 1).bit_length()) if active else 1
+        if b_new > b_cur // 2:
+            continue
+        # bank finished rows' buffers, then gather the active subset
+        # (padded to b_new by repeating row 0 with done=True)
+        for i, r in enumerate(rows):
+            if r is not None and done_np[i]:
+                bank(i, r, state)
+        idx = active + [active[0]] * (b_new - len(active))
+        gather = jnp.asarray(idx, jnp.int32)
+
+        def take1(x):  # batch axis 0
+            return jnp.take(x, gather, axis=0)
+
+        state = DecodeState(
+            pos=state.pos,
+            tokens=take1(state.tokens),
+            token_logprobs=take1(state.token_logprobs),
+            kv_k=jnp.take(state.kv_k, gather, axis=1),
+            kv_v=jnp.take(state.kv_v, gather, axis=1),
+            done=take1(state.done).at[len(active):].set(True),
+            last_logits=take1(state.last_logits),
+            key=state.key,
+            align=(
+                jnp.take(state.align, gather, axis=1) if capture else state.align
+            ),
+        )
+        cross_k = jax.tree.map(lambda x: jnp.take(x, gather, axis=1), cross_k)
+        cross_v = jax.tree.map(lambda x: jnp.take(x, gather, axis=1), cross_v)
+        rows = [rows[i] for i in active] + [None] * (b_new - len(active))
+
+    # bank whatever is still live (and pads are dropped by rows[i] is None)
+    for i, r in enumerate(rows):
+        if r is not None:
+            bank(i, r, state)
+    if len(rows) == b0 and all(r == i for i, r in enumerate(rows)):
+        # never compacted: return device arrays directly (no host detour)
+        return DecodeLoopOutput(
+            tokens=state.tokens,
+            token_logprobs=state.token_logprobs,
+            length=state.pos,
+            no_speech_prob=prefill.no_speech_prob,
+            alignment=state.align if capture else None,
+        )
+    alignment = None
+    if capture:
+        a0 = next(iter(align_store.values()))
+        alignment = np.zeros((total, b0) + a0.shape[1:], np.float32)
+        for orig, a in align_store.items():
+            alignment[:, orig] = a
     return DecodeLoopOutput(
-        tokens=state.tokens,
-        token_logprobs=state.token_logprobs,
+        tokens=jnp.asarray(final_tokens),
+        token_logprobs=jnp.asarray(final_tlp),
         length=state.pos,
         no_speech_prob=prefill.no_speech_prob,
-        alignment=state.align if capture else None,
+        alignment=jnp.asarray(alignment) if capture else None,
     )
 
 

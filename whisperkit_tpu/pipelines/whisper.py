@@ -403,12 +403,17 @@ class WhisperPipeline:
                     alignment_heads=align_heads,
                     prefill=get_prefill(),
                 )
-                if flag is not None:
+                segmented = self.config.compute_options.segmented_decode
+                if flag is not None or segmented:
                     from whisperkit_tpu.decoding.loop import decode_loop_segmented
 
                     out = decode_loop_segmented(
                         self.params, cross_k, cross_v, prompt_arr, suppress,
-                        scalars, should_stop=lambda: flag.should_stop,
+                        scalars,
+                        should_stop=(
+                            (lambda: flag.should_stop) if flag is not None else None
+                        ),
+                        compact=segmented,
                         **decode_kwargs,
                     )
                 else:
