@@ -275,6 +275,22 @@ def test_decode_loop_segmented_compaction_exact(params, encoded):
         np.asarray(base.token_logprobs), np.asarray(comp.token_logprobs), atol=1e-5
     )
 
+    # with alignment capture: the per-row align buffers must survive the
+    # gathers/banking and land back at their original rows
+    heads = ((0, 0), (1, 2))
+    kw = dict(kwargs, alignment_heads=heads)
+    base_a = decode_loop(params, ck8, cv8, prompt, sup, _scalars(), **kw)
+    comp_a = decode_loop_segmented(
+        params, ck8, cv8, prompt, sup, _scalars(),
+        segment_tokens=8, compact=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(base_a.tokens), np.asarray(comp_a.tokens))
+    a, b = np.asarray(base_a.alignment), np.asarray(comp_a.alignment)
+    # compare up to each row's finish position (post-finish steps still
+    # write alignment rows in the uncompacted loop; compacted rows stop)
+    for r, n in enumerate(base_done_steps):
+        np.testing.assert_allclose(a[: 2 + n + 1, r], b[: 2 + n + 1, r], atol=1e-5)
+
 
 def test_pipeline_segmented_decode_mode(params):
     """ComputeOptions(segmented_decode=True) routes greedy decodes through
