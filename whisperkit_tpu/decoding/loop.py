@@ -413,11 +413,24 @@ def decode_loop_segmented(
     final_tlp = np.empty((b0, total), np.float32)
     align_store: dict[int, np.ndarray] = {}
 
-    def bank(idx_current: int, orig: int, st: DecodeState) -> None:
-        final_tokens[orig] = np.asarray(st.tokens[idx_current])
-        final_tlp[orig] = np.asarray(st.token_logprobs[idx_current])
-        if capture:
-            align_store[orig] = np.asarray(st.align[:, idx_current])
+    def bank_many(pairs: list[tuple[int, int]], st: DecodeState) -> None:
+        """pairs = [(current_row, original_row)]. One batched host pull per
+        sweep — per-row pulls would pay the tunnel RTT (~5-10 ms) each."""
+        if not pairs:
+            return
+        cur = [c for c, _ in pairs]
+        tok = np.asarray(jnp.take(st.tokens, jnp.asarray(cur), axis=0))
+        tlp = np.asarray(jnp.take(st.token_logprobs, jnp.asarray(cur), axis=0))
+        al = (
+            np.asarray(jnp.take(st.align, jnp.asarray(cur), axis=1))
+            if capture
+            else None
+        )
+        for j, (_, orig) in enumerate(pairs):
+            final_tokens[orig] = tok[j]
+            final_tlp[orig] = tlp[j]
+            if capture:
+                align_store[orig] = al[:, j]
 
     n_segments = -(-max_new_tokens // segment_tokens)
     for seg in range(n_segments):
@@ -442,9 +455,10 @@ def decode_loop_segmented(
             continue
         # bank finished rows' buffers, then gather the active subset
         # (padded to b_new by repeating row 0 with done=True)
-        for i, r in enumerate(rows):
-            if r is not None and done_np[i]:
-                bank(i, r, state)
+        bank_many(
+            [(i, r) for i, r in enumerate(rows) if r is not None and done_np[i]],
+            state,
+        )
         idx = active + [active[0]] * (b_new - len(active))
         gather = jnp.asarray(idx, jnp.int32)
 
@@ -468,10 +482,6 @@ def decode_loop_segmented(
         cross_v = jax.tree.map(lambda x: jnp.take(x, gather, axis=1), cross_v)
         rows = [rows[i] for i in active] + [None] * (b_new - len(active))
 
-    # bank whatever is still live (and pads are dropped by rows[i] is None)
-    for i, r in enumerate(rows):
-        if r is not None:
-            bank(i, r, state)
     if len(rows) == b0 and all(r == i for i, r in enumerate(rows)):
         # never compacted: return device arrays directly (no host detour)
         return DecodeLoopOutput(
@@ -481,6 +491,8 @@ def decode_loop_segmented(
             no_speech_prob=prefill.no_speech_prob,
             alignment=state.align if capture else None,
         )
+    # bank whatever is still live (pads are dropped by rows[i] is None)
+    bank_many([(i, r) for i, r in enumerate(rows) if r is not None], state)
     alignment = None
     if capture:
         a0 = next(iter(align_store.values()))
