@@ -129,11 +129,13 @@ def main() -> None:
         return stats
 
     # ---- headline: real pipeline, VAD-chunked, rules on, 224-token budget --
-    # 32-window groups: weight reads amortize over the doubled batch —
-    # measured 0.52 vs 0.65 ms/row/step at large-v3 (tools/perf_decode.py);
-    # cross-KV 7.9 GB + params 3 GB + KV 1.2 GB fits the 16 GB chip
+    # large-v3 runs 16-window groups: b=32 measures 20% better per row
+    # (0.52 vs 0.65 ms/row/step, tools/perf_decode.py) but the FULL-budget
+    # pipeline at b=32 crashes the TPU worker (cross-KV 7.9 GB + 226-slot
+    # KV + params exceed HBM) — revisit with in-group int8 cross-KV
+    # (ROADMAP)
     rtf, n_segments, decode_loops, n_windows = run_pipeline(
-        variant, 32 if on_tpu else 4
+        variant, 16 if on_tpu else 4
     )
     pipeline_s = rtf * len(audio) / 16_000
     dims = VARIANT_DIMS["large-v3-turbo" if on_tpu else "tiny"]
@@ -143,8 +145,8 @@ def main() -> None:
     # ---- secondaries: int8-KV serving mode + turbo (r2 headline) -----------
     turbo_rtf = int8_rtf = quant_rtf = None
     if on_tpu:
-        int8_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True)
-        quant_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True, w8a16=True)
+        int8_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True)
+        quant_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True, w8a16=True)
         turbo_rtf, _, _, _ = run_pipeline("large-v3-turbo", 32)
 
     # ---- secondary: round-1 32-token microbench (continuity) ---------------
