@@ -89,15 +89,26 @@ class PrefillState(NamedTuple):
     align_prefix: Optional[jnp.ndarray]  # [P, B, A, 1500] or None
 
 
-@functools.partial(jax.jit, static_argnames=("dims",))
-def encode_window(params, mel: jnp.ndarray, dims: WhisperDims):
+@functools.partial(jax.jit, static_argnames=("dims", "quantize_kv"))
+def encode_window(
+    params, mel: jnp.ndarray, dims: WhisperDims, quantize_kv: bool = False
+):
     """mel [B, n_mels, 3000] → (enc_out [B,1500,D], cross_k, cross_v).
 
     Split from the decode loop so the temperature-fallback ladder
     (TranscribeTask.swift:316-411) re-decodes without re-encoding.
+
+    `quantize_kv=True` emits the int8 {"q8","scale"} cross-KV directly:
+    quantizing inside the jit lets XLA free each bf16 layer as it is
+    consumed, so the ~8 GB bf16 copy (large-v3 b=32) never coexists with
+    the int8 one — quantizing OUTSIDE would peak at both.
     """
     enc_out = encoder_forward(params, mel, dims)
     cross_k, cross_v = compute_cross_kv(params, enc_out, dims)
+    if quantize_kv:
+        from whisperkit_tpu.ops.quant import quantize_cross_kv
+
+        cross_k, cross_v = quantize_cross_kv(cross_k, cross_v)
     return enc_out, cross_k, cross_v
 
 

@@ -292,10 +292,24 @@ class WhisperPipeline:
         lang_probs = {LANGUAGES[i][0]: float(probs[i]) for i in order[:10]}
         return LANGUAGES[int(order[0])][0], lang_probs
 
+    def _encode(self, mel_batch, options: DecodingOptions):
+        """encode_window with the serving-mode int8 cross-KV fused in
+        (greedy path only — beam search tiles the raw bf16 arrays)."""
+        quantize = (
+            self.config.compute_options.quantize_cross_kv
+            and options.beam_size <= 1
+        )
+        return encode_window(
+            self.params, mel_batch, self.dims, quantize_kv=quantize
+        )
+
     def _detect_language_from_encoded(self, ck, cv) -> str:
+        row0 = lambda x: x[:, :1]  # noqa: E731 — int8 cross-KV is a dict
+        ck1 = jax.tree.map(row0, ck)
+        cv1 = jax.tree.map(row0, cv)
         probs = np.asarray(
             detect_language_logits(
-                self.params, ck[:, :1], cv[:, :1], dims=self.dims,
+                self.params, ck1, cv1, dims=self.dims,
                 special=self.tokenizer.special,
             )
         )[0]
@@ -318,7 +332,12 @@ class WhisperPipeline:
         first passing result.
         """
         sp = self.tokenizer.special
-        b = cross_k.shape[1]
+        # int8 cross-KV arrives as a {"q8","scale"} dict (fused in _encode)
+        b = (
+            cross_k["q8"].shape[1]
+            if isinstance(cross_k, dict)
+            else cross_k.shape[1]
+        )
         prompt, sot_index = self._build_prompt(options, language)
         prompt_arr = jnp.asarray([prompt] * b, jnp.int32)
         suppress = self._suppress_bias(options)
@@ -330,15 +349,8 @@ class WhisperPipeline:
             else None
         )
 
-        # opt-in serving mode: int8 cross-KV (the decode bandwidth floor);
-        # greedy path only — beam search tiles the raw arrays
-        if (
-            self.config.compute_options.quantize_cross_kv
-            and options.beam_size <= 1
-        ):
-            from whisperkit_tpu.ops.quant import quantize_cross_kv
-
-            cross_k, cross_v = quantize_cross_kv(cross_k, cross_v)
+        # (int8 cross-KV now happens INSIDE encode_window — see _encode —
+        # so the bf16 copy never coexists with the int8 one on-device)
 
         # DecodingCache (Models.swift:325-339) made sound for Whisper: the
         # prompt pass has no sampling, so every rung of the temperature
@@ -610,7 +622,7 @@ class WhisperPipeline:
         t0 = time.perf_counter()
         mels = [self._mel(pad_or_trim(a, WINDOW_SAMPLES)) for a in audios]
         mel_batch = jnp.stack(mels)
-        _, ck, cv = encode_window(self.params, mel_batch, self.dims)
+        _, ck, cv = self._encode(mel_batch, options)
         self._detected_language = None
         language = self._resolve_language(options, ck, cv)
         decodes = self._decode_with_fallback(ck, cv, options, language, 0)
@@ -703,7 +715,7 @@ class WhisperPipeline:
                 from whisperkit_tpu.parallel.mesh import shard_batch
 
                 mel_batch = shard_batch(plan, mel_batch)
-            _, ck, cv = encode_window(self.params, mel_batch, self.dims)
+            _, ck, cv = self._encode(mel_batch, options)
             self.timings.total_encoding_runs += n_real
             if language is None:
                 language = self._resolve_language(options, ck, cv)
@@ -823,7 +835,7 @@ class WhisperPipeline:
                 self.timings.log_mels += time.perf_counter() - t_mel
                 self.timings.total_log_mel_runs += 1
                 t_enc = time.perf_counter()
-                _, ck, cv = encode_window(self.params, mel, self.dims)
+                _, ck, cv = self._encode(mel, options)
                 self.timings.encoding += time.perf_counter() - t_enc
                 self.timings.total_encoding_runs += 1
 
