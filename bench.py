@@ -145,8 +145,11 @@ def main() -> None:
     # ---- secondaries: int8-KV serving mode + turbo (r2 headline) -----------
     turbo_rtf = int8_rtf = quant_rtf = None
     if on_tpu:
-        int8_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True)
-        quant_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True, w8a16=True)
+        # quantized configs run 32-window groups: int8 cross-KV (4 GB,
+        # quantized inside encode) + params fit where bf16 at b=32 did not,
+        # and weight reads amortize over the doubled batch
+        int8_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True)
+        quant_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True, w8a16=True)
         turbo_rtf, _, _, _ = run_pipeline("large-v3-turbo", 32)
 
     # ---- secondary: round-1 32-token microbench (continuity) ---------------

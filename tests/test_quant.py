@@ -206,6 +206,39 @@ def test_pipeline_quantized_cross_kv_end_to_end():
     assert res.segments and np.isfinite(res.segments[0].avg_logprob)
 
 
+def test_pipeline_quantized_cross_kv_beam_keeps_bf16():
+    """quantize_cross_kv + beam_size>1: beam search tiles raw bf16 arrays,
+    so _encode must skip the fused int8 path and the transcription still
+    succeeds (the greedy fallback rungs then also see bf16)."""
+    import jax
+
+    from whisperkit_tpu.core.configurations import (
+        ComputeOptions,
+        DecodingOptions,
+        WhisperConfig,
+    )
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    pipe = WhisperPipeline(
+        WhisperConfig(compute_options=ComputeOptions(quantize_cross_kv=True)),
+        dims=dims,
+        params=init_params(jax.random.PRNGKey(0), dims),
+    )
+    audio = np.random.default_rng(3).standard_normal(16000 * 3).astype(np.float32) * 0.1
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(
+            language="en", sample_length=6, beam_size=2,
+            temperature_fallback_count=0,
+            first_token_log_prob_threshold=None, no_speech_threshold=None,
+            logprob_threshold=None, compression_ratio_threshold=None,
+        ),
+    )
+    assert res.segments
+
+
 def test_pipeline_quantized_cross_kv_with_word_timestamps():
     """ADVICE r2 (medium): quantized cross-KV is an int8 dict — the decode
     loop must size the alignment buffer from it instead of reading .shape,
