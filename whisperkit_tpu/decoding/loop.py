@@ -557,7 +557,8 @@ def detect_language_logits(
     Reference: TextDecoder.swift:420-539 `detectLanguage` with
     `LanguageLogitsFilter` (LogitsFilter.swift:245-276).
     """
-    b = cross_k.shape[1]
+    # int8 cross-KV arrives as a {"q8","scale"} dict (ops/quant.py)
+    b = cross_k["q8"].shape[1] if isinstance(cross_k, dict) else cross_k.shape[1]
     total = 8  # tiny KV for a single step
     kv_shape = (dims.n_text_layer, b, dims.n_text_head, total, dims.head_dim)
     kv_dtype = params["decoder"]["token_embed"].dtype

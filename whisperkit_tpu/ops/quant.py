@@ -135,9 +135,15 @@ def quantize_conv_weight(w: jnp.ndarray) -> dict:
     return {"w_q": w_q, "scale": scale.astype(jnp.bfloat16)}
 
 
-# speaker-model weight keys: [in, out] matmuls vs [O, I, K…] convs
+# speaker-model weight keys: [in, out] matmuls vs [O, I, K…] convs.
+# _SPEAKER_CONV_PARENTS is the ALLOWLIST of learned-conv parents (PyanNet
+# sincnet convs + ResNet34 block/shortcut convs, models/pyannet.py) — the
+# materialized "sinc" filterbank is deliberately NOT in it: its filters are
+# analytically derived, and an allowlist means any future differently-named
+# subtree stays unquantized by default rather than silently losing precision
+# (ADVICE r2 #3).
 _SPEAKER_MATMUL_KEYS = {"wx", "wh"}
-_SPEAKER_CONV_PARENTS = {"conv1", "conv2", "down", "sinc"}
+_SPEAKER_CONV_PARENTS = {"conv1", "conv2", "down"}
 
 
 def quantize_speaker_params(params: PyTree, min_size: int = 1 << 12) -> PyTree:
@@ -161,7 +167,7 @@ def quantize_speaker_params(params: PyTree, min_size: int = 1 << 12) -> PyTree:
             return quantize_weight(node)
         if key == "w" and node.ndim == 2:  # linears/cls/seg_1 {"w","b"}
             return quantize_weight(node)
-        if key == "w" and node.ndim in (3, 4) and parent != "sinc":
+        if key == "w" and node.ndim in (3, 4) and parent in _SPEAKER_CONV_PARENTS:
             return quantize_conv_weight(node)
         return node
 

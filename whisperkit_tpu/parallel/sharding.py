@@ -26,54 +26,48 @@ def _spec(plan: MeshPlan, *axes) -> NamedSharding:
     return NamedSharding(plan.mesh, P(*axes))
 
 
-def whisper_param_shardings(plan: MeshPlan, params) -> dict:
-    """NamedSharding pytree matching models/whisper.py's parameter tree.
+# Megatron roles by linear name inside a block: column-split linears shard
+# their out-features (and bias/scale); row-split shard in-features (bias and
+# per-out-channel quant scale stay replicated). Everything else replicates.
+_COL_KEYS = frozenset({"q", "k", "v", "fc1"})
+_ROW_KEYS = frozenset({"out", "fc2"})
 
-    Block params carry a leading stacked-layer axis (scanned), so weight
-    matrices are rank-3: [L, in, out].
+
+def whisper_param_shardings(plan: MeshPlan, params) -> dict:
+    """NamedSharding pytree mirroring models/whisper.py's parameter tree.
+
+    Built by walking the actual param tree (not a static template), so it
+    covers both bf16 trees ({"w": [L, in, out], "b": [L, out]}) and the
+    W8A16 trees ops/quant.py produces ({"w_q": int8 [L, in, out],
+    "scale": [L, out], "b": ...}): w_q shards exactly like w would, and a
+    column-split linear's per-out-channel scale shards with the out axis
+    while a row-split linear's scale replicates (out axis is unsplit).
+    Block params carry a leading stacked-layer axis (scanned), rank-3
+    weights are [L, in, out]; non-stacked rank-2 weights get the same roles
+    without the layer axis.
     """
     rep = _spec(plan)
-    col = _spec(plan, None, None, "tp")  # [L, in, out] split out-features
-    row = _spec(plan, None, "tp", None)  # [L, in, out] split in-features
-    col_b = _spec(plan, None, "tp")  # [L, out] bias of a column-split matmul
-    rep_l = rep
 
-    def attn(p):
-        return {
-            "q": {"w": col, "b": col_b},
-            "k": {"w": col},
-            "v": {"w": col, "b": col_b},
-            "out": {"w": row, "b": rep_l},
-        }
+    def leaf_spec(leaf, leaf_key, parent_key):
+        ndim = getattr(leaf, "ndim", None)
+        if parent_key in _COL_KEYS:
+            if leaf_key in ("w", "w_q"):
+                return _spec(plan, *([None] * (ndim - 1)), "tp")
+            if leaf_key in ("b", "scale"):
+                return _spec(plan, *([None] * (ndim - 1)), "tp")
+        elif parent_key in _ROW_KEYS:
+            if leaf_key in ("w", "w_q"):
+                return _spec(plan, *([None] * (ndim - 2)), "tp", None)
+        return rep
 
-    def block(cross: bool):
-        d = {
-            "attn_ln": {"g": rep_l, "b": rep_l},
-            "attn": attn(None),
-            "mlp_ln": {"g": rep_l, "b": rep_l},
-            "fc1": {"w": col, "b": col_b},
-            "fc2": {"w": row, "b": rep_l},
-        }
-        if cross:
-            d["cross_attn_ln"] = {"g": rep_l, "b": rep_l}
-            d["cross_attn"] = attn(None)
-        return d
+    def walk(node, key=None, parent=None):
+        if isinstance(node, dict):
+            return {k: walk(v, k, key) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, key, parent) for v in node)
+        return leaf_spec(node, key, parent)
 
-    shardings = {
-        "encoder": {
-            "conv1": {"w": rep, "b": rep},
-            "conv2": {"w": rep, "b": rep},
-            "pos_embed": rep,
-            "blocks": block(cross=False),
-            "ln_post": {"g": rep, "b": rep},
-        },
-        "decoder": {
-            "token_embed": rep,
-            "pos_embed": rep,
-            "blocks": block(cross=True),
-            "ln": {"g": rep, "b": rep},
-        },
-    }
+    shardings = walk(params)
     # sanity: the sharding tree must mirror the param tree
     jax.tree.map(lambda a, b: None, params, shardings)
     return shardings

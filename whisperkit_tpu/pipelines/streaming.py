@@ -25,8 +25,13 @@ import numpy as np
 from whisperkit_tpu.audio.io import SAMPLE_RATE
 from whisperkit_tpu.audio.vad import is_voice_detected
 from whisperkit_tpu.core.configurations import DecodingOptions
-from whisperkit_tpu.core.results import TranscriptionSegment, WordTiming
+from whisperkit_tpu.core.results import (
+    TranscriptionProgress,
+    TranscriptionSegment,
+    WordTiming,
+)
 from whisperkit_tpu.text.transcription_utils import find_longest_common_prefix
+from whisperkit_tpu.text.utils import compression_ratio_tokens
 
 
 @dataclasses.dataclass
@@ -58,6 +63,7 @@ class AudioStreamTranscriber:
         required_segments_for_confirmation: int = 2,
         use_vad: bool = True,
         silence_threshold: float = 0.022,  # AudioStreamTranscriber default
+        compression_check_window: int = 60,  # AudioStreamTranscriber.swift:53
         eager: bool = False,
         eager_tolerance_seconds: float = 1.0,
         state_callback: Optional[Callable[[StreamState], None]] = None,
@@ -70,6 +76,7 @@ class AudioStreamTranscriber:
         self.required_segments_for_confirmation = required_segments_for_confirmation
         self.use_vad = use_vad
         self.silence_threshold = silence_threshold
+        self.compression_check_window = compression_check_window
         self.eager = eager
         self.eager_tolerance_seconds = eager_tolerance_seconds
         self.state_callback = state_callback
@@ -142,7 +149,9 @@ class AudioStreamTranscriber:
         clip_rel = confirm_point - self._dropped_seconds
         clip_rel = max(0.0, min(clip_rel, len(self._buffer) / SAMPLE_RATE - 0.1))
         options = dataclasses.replace(self.options, clip_timestamps=[clip_rel])
-        result = self.pipeline.transcribe(self._buffer, options)
+        result = self.pipeline.transcribe(
+            self._buffer, options, callback=self._on_progress
+        )
         if self._dropped_seconds > 0:
             from whisperkit_tpu.text.transcription_utils import update_segment_timings
 
@@ -159,6 +168,38 @@ class AudioStreamTranscriber:
         if self.state_callback is not None:
             self.state_callback(self.state)
         return True
+
+    def _on_progress(self, progress: TranscriptionProgress):
+        """Per-window progress during a pass: mirror the reference's
+        decodingCallback (AudioStreamTranscriber.swift:195-206) — update
+        live text/fallback state and abort the pass on quality collapse.
+        Returning False cancels the REMAINING windows of this pass (window
+        granularity; the reference breaks its token loop mid-window) — the
+        next pass re-transcribes from the last confirmed point anyway."""
+        self.state.current_text = progress.text
+        self.state.current_fallbacks = int(
+            progress.timings.total_decoding_fallbacks
+        )
+        return self._should_stop_early(progress)
+
+    def _should_stop_early(self, progress: TranscriptionProgress):
+        """Reference: AudioStreamTranscriber.shouldStopEarly (:208-227) —
+        stop when the tail of the token stream stops compressing (looping)
+        or the window's average logprob falls below threshold."""
+        tokens = progress.tokens
+        if len(tokens) > self.compression_check_window:
+            ratio = compression_ratio_tokens(
+                tokens[-self.compression_check_window :]
+            )
+            if ratio > (self.options.compression_ratio_threshold or 0.0):
+                return False
+        if (
+            progress.avg_logprob is not None
+            and self.options.logprob_threshold is not None
+            and progress.avg_logprob < self.options.logprob_threshold
+        ):
+            return False
+        return None
 
     def _trim_buffer(self, confirm_point: float) -> None:
         """Drop samples that can no longer affect output (bounded memory)."""

@@ -611,6 +611,10 @@ class TTSPipeline:
         )
 
         options = options or GenerationOptions()
+        # ctx_frames is a static jit arg taking values {0, C2W_CONTEXT_FRAMES}
+        # only when blocks are at least one full context long; smaller blocks
+        # would compile a fresh vocoder shape per ramp-up step (ADVICE r2 #4)
+        block_frames = max(block_frames, C2W_CONTEXT_FRAMES)
         text_track, codec_track, trailing, cap = self._chunk_tracks(text, options)
         embeds, pad = self._embed_tracks([(text_track, codec_track)])
         trailing_text = self._trailing_array([trailing])
