@@ -17,8 +17,10 @@ continuity. Quality-triggered fallback re-decodes are disabled (random
 text would trip the compression-ratio ladder on every window, which real
 speech does not).
 
-Model: Whisper large-v3 (the north-star model) on TPU, with turbo and the
-quantized serving configs (int8 cross-KV, W8A16+int8-KV) as secondaries;
+Model: Whisper large-v3 (the north-star model) on TPU in the blessed
+serving config (ComputeOptions.serving(): fused per-layer int8 cross-KV,
+32-window groups — the config that fits and wins on one 16 GB v5e), with
+bf16 b=16 (r2/r3 continuity), W8A16+int8-KV, and turbo as secondaries;
 `tiny` + 1 minute on CPU (so the script stays runnable anywhere).
 """
 
@@ -109,7 +111,9 @@ def main() -> None:
             params_v = quantize_whisper_params(params_v)
         pipe = WhisperPipeline(
             WhisperConfig(
-                compute_options=ComputeOptions(quantize_cross_kv=int8_kv)
+                compute_options=(
+                    ComputeOptions.serving() if int8_kv else ComputeOptions()
+                )
             ),
             dims=dims_v, params=params_v,
         )
@@ -129,30 +133,29 @@ def main() -> None:
         return stats
 
     # ---- headline: real pipeline, VAD-chunked, rules on, 224-token budget --
-    # large-v3 runs 16-window groups: b=32 measures 20% better per row
-    # (0.52 vs 0.65 ms/row/step, tools/perf_decode.py) but the FULL-budget
-    # pipeline at b=32 crashes the TPU worker (cross-KV 7.9 GB + 226-slot
-    # KV + params exceed HBM) — revisit with in-group int8 cross-KV
-    # (ROADMAP)
+    # The headline CONFIG is the blessed serving preset
+    # (ComputeOptions.serving(): int8 cross-KV fused per-layer into encode)
+    # at 32-window groups: the fused project+quantize keeps peak HBM at
+    # ~2 GB int8 + one bf16 layer, so large-v3 b=32 — which measures 20%
+    # better per decode row (0.52 vs 0.65 ms/row/step, tools/
+    # perf_decode.py) — fits one 16 GB v5e. bf16 at 16-window groups stays
+    # a secondary for r2/r3 continuity (b=32 bf16 cannot fit: 7.9 GB
+    # cross-KV alone).
     rtf, n_segments, decode_loops, n_windows = run_pipeline(
-        variant, 16 if on_tpu else 4
+        variant, 32 if on_tpu else 4, int8_kv=on_tpu
     )
     pipeline_s = rtf * len(audio) / 16_000
     dims = VARIANT_DIMS["large-v3-turbo" if on_tpu else "tiny"]
     sp = special_tokens_for_vocab(dims.n_vocab)
     params = init_params(jax.random.PRNGKey(0), dims)
 
-    # ---- secondaries: int8-KV serving mode + turbo (r2 headline) -----------
-    turbo_rtf = int8_rtf = quant_rtf = None
+    # ---- secondaries: bf16 continuity config + W8A16 + turbo ---------------
+    turbo_rtf = bf16_rtf = quant_rtf = None
     if on_tpu:
-        # quantized configs stay at 16-window groups: b=32 measured 20%
-        # better per row and int8-KV at b=32 ran once, but it sits at the
-        # HBM edge (OOM'd on a second run — allocator-history dependent)
-        # and w8a16-b32 always OOMs (XLA hoists the per-layer dequants out
-        # of the while_loop, re-materializing ~3 GB of bf16 weights).
-        # Deterministic numbers beat peak numbers here; b=32 quantized is a
-        # ROADMAP item behind memory work.
-        int8_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True)
+        bf16_rtf, _, _, _ = run_pipeline(variant, 16)
+        # W8A16 stays at 16-window groups: at b=32 XLA hoists the per-layer
+        # weight dequants out of the while_loop, re-materializing ~3 GB of
+        # bf16 weights next to the int8 tree (OOM)
         quant_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True, w8a16=True)
         turbo_rtf, _, _, _ = run_pipeline("large-v3-turbo", 32)
 
@@ -199,18 +202,23 @@ def main() -> None:
         secondary[f"pipeline_rtf_large-v3-turbo_vad_{int(audio_minutes)}min"] = round(
             turbo_rtf, 5
         )
-    if int8_rtf is not None:
-        secondary[f"pipeline_rtf_{variant}_int8kv_vad_{int(audio_minutes)}min"] = round(
-            int8_rtf, 5
+    if bf16_rtf is not None:
+        secondary[f"pipeline_rtf_{variant}_bf16_b16_vad_{int(audio_minutes)}min"] = round(
+            bf16_rtf, 5
         )
     if quant_rtf is not None:
         secondary[f"pipeline_rtf_{variant}_w8a16_int8kv_vad_{int(audio_minutes)}min"] = round(
             quant_rtf, 5
         )
+    metric = (
+        f"pipeline_rtf_{variant}_serving_int8kv_b32_vad_{int(audio_minutes)}min"
+        if on_tpu
+        else f"pipeline_rtf_{variant}_vad_{int(audio_minutes)}min"
+    )
     print(
         json.dumps(
             {
-                "metric": f"pipeline_rtf_{variant}_vad_{int(audio_minutes)}min",
+                "metric": metric,
                 "value": round(rtf, 5),
                 "unit": "rtf (pipeline_s / audio_s, lower is better)",
                 "vs_baseline": round(baseline_rtf / rtf, 2),

@@ -176,6 +176,36 @@ def test_cross_attend_int8_matches_bf16():
     assert np.abs(got - ref).mean() / denom < 0.05
 
 
+def test_fused_cross_kv_quantize_matches_two_step():
+    """compute_cross_kv_quantized (per-layer project+quantize, the b=32
+    memory-fit path) must produce EXACTLY what quantize_cross_kv(
+    compute_cross_kv(...)) produces — same projection, same scale math."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisperkit_tpu.models.whisper import (
+        WhisperDims,
+        compute_cross_kv,
+        compute_cross_kv_quantized,
+        init_params,
+    )
+    from whisperkit_tpu.ops.quant import quantize_cross_kv
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    enc_out = jax.random.normal(
+        jax.random.PRNGKey(1), (3, 1500, dims.n_audio_state), jnp.float32
+    ).astype(jnp.bfloat16)
+
+    ck_ref, cv_ref = quantize_cross_kv(*compute_cross_kv(params, enc_out, dims))
+    ck, cv = compute_cross_kv_quantized(params, enc_out, dims)
+    for got, ref in ((ck, ck_ref), (cv, cv_ref)):
+        np.testing.assert_array_equal(np.asarray(got["q8"]), np.asarray(ref["q8"]))
+        np.testing.assert_allclose(
+            np.asarray(got["scale"]), np.asarray(ref["scale"]), rtol=1e-6
+        )
+
+
 def test_pipeline_quantized_cross_kv_end_to_end():
     import jax
 

@@ -287,6 +287,71 @@ def _attend_flash_padded(q, k, v):
     return out[:, :, :t, :]
 
 
+def _conv2_as_matmul(x, w, b):
+    """Stride-2 kernel-3 conv as one [3*C_in → C_out] matmul over 1500
+    output positions (ROADMAP conv2-as-matmul lever): x [B,C,3000] padded
+    by 1, three stride-2 slices stacked on a window axis, contracted with
+    w [O,I,K] over (I,K) = a 3840-deep MXU matmul instead of a conv."""
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))
+    cols = jnp.stack(
+        [xp[:, :, 0:3000:2], xp[:, :, 1:3001:2], xp[:, :, 2:3002:2]], axis=-1
+    )  # [B, C_in, 1500, 3]
+    y = jnp.einsum(
+        "bitk,oik->bot", cols.astype(w.dtype), w, precision=_prec(w)
+    )
+    return y + b[None, :, None]
+
+
+def encoder_v12(params, mel, dims):
+    """Production v9 attention + conv2-as-matmul."""
+    enc = params["encoder"]
+    x = jax.nn.gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+    x = jax.nn.gelu(_conv2_as_matmul(x, enc["conv2"]["w"], enc["conv2"]["b"]))
+    x = x.transpose(0, 2, 1)
+    x = x + enc["pos_embed"].astype(x.dtype)
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        h = layer_norm(x, bp["attn_ln"])
+        q = dense(h, bp["attn"]["q"])
+        k = dense(h, bp["attn"]["k"])
+        v = dense(h, bp["attn"]["v"])
+        out = _attend_bf16(
+            _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head)
+        )
+        x = x + dense(_merge_heads(out), bp["attn"]["out"])
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
+def _attend_splash(q, k, v):
+    """Splash-attention kernel (the maintained TPU pallas MHA), 1536-padded
+    with segment-id masking of pad positions."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    b, h, t, dh = q.shape
+    tp = ((t + 127) // 128) * 128
+    pad = tp - t
+    qp = jnp.pad(q * (dh**-0.5), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    seg = (jnp.arange(tp) < t).astype(jnp.int32)
+    mask = sm.MultiHeadMask([sm.FullMask(_shape=(tp, tp)) for _ in range(h)])
+    kernel = sk.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1)
+    segment_ids = sk.SegmentIds(q=seg, kv=seg)
+    out = jax.vmap(lambda qq, kk, vv: kernel(qq, kk, vv, segment_ids=segment_ids))(
+        qp, kp, vp
+    )
+    return out[:, :, :t, :]
+
+
 def measure(fn, params, mel, label):
     jitted = jax.jit(fn)
     t0 = time.perf_counter()
@@ -332,6 +397,9 @@ def main():
         # flash attention on 1536-padded seq with segment-id masking
         "v10": (lambda p, m: _make_encoder(_attend_flash_padded, False)(p, m, DIMS), params),
         "v11": (lambda p, m: _make_encoder(_attend_flash_padded, True)(p, m, DIMS), fused),
+        # r3 levers: conv2-as-matmul on the production path; splash MHA
+        "v12": (lambda p, m: encoder_v12(p, m, DIMS), params),
+        "v13": (lambda p, m: _make_encoder(_attend_splash, False)(p, m, DIMS), params),
     }
     print(f"b={B} {DIMS.n_audio_layer}L d{DIMS.n_audio_state}  FLOPs/window batch: {FLOPS/1e12:.1f} TF", flush=True)
     for name in args.variants.split(","):

@@ -98,17 +98,19 @@ def encode_window(
     Split from the decode loop so the temperature-fallback ladder
     (TranscribeTask.swift:316-411) re-decodes without re-encoding.
 
-    `quantize_kv=True` emits the int8 {"q8","scale"} cross-KV directly:
-    quantizing inside the jit lets XLA free each bf16 layer as it is
-    consumed, so the ~8 GB bf16 copy (large-v3 b=32) never coexists with
-    the int8 one — quantizing OUTSIDE would peak at both.
+    `quantize_kv=True` emits the int8 {"q8","scale"} cross-KV directly via
+    the per-layer fused project+quantize (models/whisper.
+    compute_cross_kv_quantized): at most ONE layer's bf16 K/V ever exists,
+    so the ~8 GB whole-batch bf16 copy (large-v3 b=32) never materializes
+    at all — this is what fits 32-window groups on one 16 GB v5e.
     """
     enc_out = encoder_forward(params, mel, dims)
-    cross_k, cross_v = compute_cross_kv(params, enc_out, dims)
     if quantize_kv:
-        from whisperkit_tpu.ops.quant import quantize_cross_kv
+        from whisperkit_tpu.models.whisper import compute_cross_kv_quantized
 
-        cross_k, cross_v = quantize_cross_kv(cross_k, cross_v)
+        cross_k, cross_v = compute_cross_kv_quantized(params, enc_out, dims)
+    else:
+        cross_k, cross_v = compute_cross_kv(params, enc_out, dims)
     return enc_out, cross_k, cross_v
 
 

@@ -33,7 +33,6 @@ import numpy as np
 from whisperkit_tpu.audio.io import SAMPLE_RATE, pad_or_trim
 from whisperkit_tpu.core.configurations import DecodingOptions
 from whisperkit_tpu.core.results import TranscriptionResult
-from whisperkit_tpu.decoding.loop import encode_window
 from whisperkit_tpu.text.segment_seeker import (
     WINDOW_FRAMES,
     find_seek_point_and_segments,
@@ -190,8 +189,9 @@ class BatchScheduler:
             mels.append(pipe._mel(np.zeros(WINDOW_SAMPLES, np.float32)))
         mel_batch = jnp.stack(mels)
 
-        _, ck, cv = encode_window(pipe.params, mel_batch, pipe.dims)
-        language = pipe._resolve_language(options, ck, cv)
+        # pipe._encode honors the serving config (fused int8 cross-KV)
+        _, ck, cv = pipe._encode(mel_batch, options)
+        language = pipe._resolve_language(options, ck, cv, n)
         decodes = pipe._decode_with_fallback(ck, cv, options, language, 0)[:n]
 
         sp = pipe.tokenizer.special
