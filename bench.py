@@ -159,6 +159,53 @@ def main() -> None:
         quant_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True, w8a16=True)
         turbo_rtf, _, _, _ = run_pipeline("large-v3-turbo", 32)
 
+    # ---- secondary: serving under concurrent load (VERDICT r2 #2) ----------
+    # 32 simultaneous 30 s requests through BatchScheduler on the blessed
+    # serving preset — the deployment story the OpenAI server sits on.
+    serving_stats = None
+    if on_tpu:
+        from whisperkit_tpu.core.configurations import ComputeOptions, WhisperConfig
+        from whisperkit_tpu.pipelines.scheduler import BatchScheduler
+
+        dims_v = VARIANT_DIMS[variant]
+        pipe = WhisperPipeline(
+            WhisperConfig(compute_options=ComputeOptions.serving()),
+            dims=dims_v, params=init_params(jax.random.PRNGKey(0), dims_v),
+        )
+        sched = BatchScheduler(pipe, max_batch=32, max_wait_ms=500.0)
+        clip30 = synth_speechlike_audio(30.0, seed=3)
+        options = pipeline_options(32)
+        for f in [sched.submit(clip30, options) for _ in range(32)]:
+            f.result(timeout=3600)  # warmup batch (compile)
+        from whisperkit_tpu.core.timings import TranscriptionTimings
+
+        pipe.timings = TranscriptionTimings()
+        sched.batches_run = sched.windows_run = 0
+        t_subs = []
+        futs = []
+        for _ in range(32):
+            t_subs.append(time.perf_counter())
+            futs.append(sched.submit(clip30, options))
+        lats = []
+        for t_sub, f in zip(t_subs, futs):
+            f.result(timeout=3600)
+            lats.append(time.perf_counter() - t_sub)
+        lats.sort()
+        wall = lats[-1]
+        serving_stats = {
+            "p50_s": round(lats[len(lats) // 2], 2),
+            "p99_s": round(lats[-1], 2),
+            "agg_tokens_per_s": round(
+                int(pipe.timings.total_decoding_loops) / wall, 1
+            ),
+            "mean_batch_fill": round(
+                sched.windows_run / max(sched.batches_run, 1), 1
+            ),
+        }
+        sched.shutdown()
+        pipe.params = None
+        del pipe, sched
+
     # ---- secondary: round-1 32-token microbench (continuity) ---------------
     batch = 64 if on_tpu else 2
     mel_in = jax.random.normal(jax.random.PRNGKey(1), (batch, 480_000)) * 0.1
@@ -198,6 +245,8 @@ def main() -> None:
         "tokens_per_second": round(decode_loops / pipeline_s, 1),
         "windows": n_windows,
     }
+    if serving_stats is not None:
+        secondary["serving_burst32x30s"] = serving_stats
     if turbo_rtf is not None:
         secondary[f"pipeline_rtf_large-v3-turbo_vad_{int(audio_minutes)}min"] = round(
             turbo_rtf, 5

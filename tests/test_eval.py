@@ -68,6 +68,40 @@ def test_align_words_chunks():
     assert kinds == ["equal", "replace", "equal", "insert"]
 
 
+def test_regression_metadata_json_transcripts(tmp_path):
+    """The reference's HF dataset layout: audio files + one metadata .json
+    mapping audio→transcript (RegressionTests.swift:485-510)."""
+    import json as _json
+
+    jax = pytest.importorskip("jax")
+    from whisperkit_tpu.core.configurations import DecodingOptions
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    pipe = WhisperPipeline(dims=dims, params=init_params(jax.random.PRNGKey(0), dims))
+    rng = np.random.default_rng(1)
+    _write_wav(tmp_path / "clip.wav", rng.standard_normal(16000 * 2) * 0.1)
+    (tmp_path / "metadata.json").write_text(
+        _json.dumps([{"audio": "clip.wav", "text": "ground truth words"}])
+    )
+    stats = run_regression(
+        pipe, tmp_path, model_name="tiny-random",
+        options=DecodingOptions(sample_length=6, language="en"),
+    )
+    assert len(stats) == 1 and stats[0].wer is not None
+
+
+def test_resolve_dataset_local_and_missing(tmp_path, monkeypatch):
+    from whisperkit_tpu.eval.regression import resolve_dataset
+
+    assert resolve_dataset(tmp_path) == tmp_path
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")  # fail fast, no network probe
+    with pytest.raises(FileNotFoundError, match="librispeech-10mins"):
+        # zero-egress env: the named dataset is neither local nor cached
+        resolve_dataset("librispeech-10mins")
+
+
 def test_regression_fault_injection(tmp_path):
     with pytest.raises(CrashTestError):
         run_regression(None, tmp_path, model_name="crash_test")

@@ -169,6 +169,34 @@ def test_vad_callback_surfaces_every_window(pipe):
         assert isinstance(p.text, str)
 
 
+def test_window_pre_post_process_hooks(pipe):
+    """Subclass seam for per-window side work / segment replacement
+    (reference: TranscribeTask.swift:42-55 windowPreprocess/PostProcess)."""
+    calls = []
+
+    class Hooked(WhisperPipeline):
+        def window_preprocess(self, window_audio, seek, segment_size):
+            calls.append(("pre", seek, len(window_audio)))
+
+        def window_post_process(self, seek, segment_size, segments):
+            calls.append(("post", seek, len(segments)))
+            for s in segments:
+                s.text = f"[hooked]{s.text}"
+            return segments
+
+    hooked = Hooked(dims=pipe.dims, params=pipe.params)
+    rng = np.random.default_rng(21)
+    audio5 = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+    res = hooked.transcribe(audio5, DecodingOptions(**OPTS))
+    # one pre+post pair per decoded window (seek may advance < 30 s, so
+    # short audio can still produce several windows)
+    assert calls and len(calls) % 2 == 0
+    assert all(
+        c[0] == ("pre" if i % 2 == 0 else "post") for i, c in enumerate(calls)
+    )
+    assert all(s.text.startswith("[hooked]") for s in res.segments)
+
+
 def test_detect_language_api(pipe, audio):
     lang, probs = pipe.detect_language(audio)
     assert lang in dict(probs)

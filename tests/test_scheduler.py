@@ -67,6 +67,47 @@ def test_scheduler_long_audio_falls_back(pipe):
     sched.shutdown()
 
 
+def test_scheduler_long_windows_batch_with_short_requests(pipe):
+    """r4 window-level continuous batching: a long request's VAD chunks
+    share batches with concurrent short requests instead of decoding alone
+    through padded fixed-size groups — and its result must equal the
+    pipeline's own VAD path on the same audio."""
+    rng = np.random.default_rng(4)
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    short = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    # deterministic greedy config: with the ladder on, t>0 rungs sample
+    # with row-position-dependent RNG, so outputs would legitimately
+    # depend on batch composition
+    opts = DecodingOptions(
+        chunking_strategy="vad", temperature_fallback_count=0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, first_token_log_prob_threshold=None,
+        **OPTS,
+    )
+
+    sched = BatchScheduler(pipe, max_batch=8, max_wait_ms=300.0)
+    f_long = sched.submit(long_audio, opts)
+    f_short = [sched.submit(short, opts) for _ in range(2)]
+    res_long = f_long.result(timeout=600)
+    for f in f_short:
+        assert f.result(timeout=600).timings.input_audio_seconds > 0
+    # 3 long windows + 2 shorts = 5 window units; window batching packs
+    # them into a single bucket-8 batch (long job no longer runs alone)
+    assert sched.windows_run == 5
+    assert sched.batches_run == 1
+    assert sched.jobs_run == 3
+    sched.shutdown()
+
+    # output equivalence vs the pipeline's own batched VAD path
+    ref = pipe.transcribe(long_audio, opts)
+    assert [s.tokens for s in res_long.segments] == [
+        s.tokens for s in ref.segments
+    ]
+    assert [round(s.start, 3) for s in res_long.segments] == [
+        round(s.start, 3) for s in ref.segments
+    ]
+
+
 def test_scheduler_transcribe_sync_api(pipe):
     sched = BatchScheduler(pipe, max_batch=4, max_wait_ms=20.0)
     rng = np.random.default_rng(3)

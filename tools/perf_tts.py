@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quantize", action="store_true", help="W8A16 weights")
+    ap.add_argument(
+        "--variant", default="0.6b",
+        help="0.6b | 1.7b (the instruction-tuned config's dims: d2048/28L, "
+        "16 q-heads/8 kv-heads, ff 6144 — Qwen3Config.swift:25-83) | tiny-test",
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,7 +56,9 @@ def main() -> None:
     )
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    dims = Qwen3TTSDims() if on_tpu else __import__(
+    from whisperkit_tpu.pipelines.tts import TTS_VARIANTS
+
+    dims = TTS_VARIANTS[args.variant] if on_tpu else __import__(
         "whisperkit_tpu.models.qwen3_tts", fromlist=["TINY_TTS_DIMS"]
     ).TINY_TTS_DIMS
     b = args.batch if on_tpu else 2
@@ -107,7 +114,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "tts_0.6b_real_stack",
+                "metric": f"tts_{args.variant}_real_stack"
+                + ("_w8a16" if args.quantize else ""),
                 "batch": b,
                 "frames": frames,
                 "ar_ms_per_frame": round(ms_per_frame, 3),

@@ -66,6 +66,69 @@ class RegressionStats:
         return json.dumps(dataclasses.asdict(self))
 
 
+DATASET_REPO = "argmaxinc/whisperkit-test-data"  # RegressionTests.swift:34
+KNOWN_DATASETS = ("librispeech-10mins", "earnings22-10mins")
+
+
+def resolve_dataset(name_or_dir: str | Path) -> Path:
+    """Resolve a dataset argument to a local folder.
+
+    A path that exists is used as-is (the offline folder-of-audio+txt
+    layout). Otherwise the argument is treated as one of the reference's
+    benchmark dataset names and resolved from the HF dataset repo
+    `argmaxinc/whisperkit-test-data` (RegressionTests.swift:460-483) with
+    the registry's offline-first discipline: local HF cache first, network
+    only if available.
+    """
+    p = Path(name_or_dir)
+    if p.exists():
+        return p
+    from huggingface_hub import snapshot_download
+
+    last_err: Optional[Exception] = None
+    for local_only in (True, False):
+        try:
+            root = snapshot_download(
+                DATASET_REPO,
+                repo_type="dataset",
+                allow_patterns=[f"{name_or_dir}/*"],
+                local_files_only=local_only,
+            )
+            folder = Path(root) / str(name_or_dir)
+            if folder.exists():
+                return folder
+        except Exception as e:  # cache miss, then (in this env) no egress
+            last_err = e
+    raise FileNotFoundError(
+        f"dataset '{name_or_dir}' is neither a local folder nor cached from "
+        f"{DATASET_REPO} (known names: {KNOWN_DATASETS}); in a zero-egress "
+        f"environment, pre-place the folder or the HF cache — see "
+        f"docs/WER_RUNBOOK.md"
+    ) from last_err
+
+
+def _metadata_transcripts(dataset_dir: Path) -> dict[str, str]:
+    """Reference metadata format: one .json in the dataset folder, a list
+    of items mapping an audio filename to its transcript
+    (RegressionTests.swift:485-510 `getTranscript`)."""
+    out: dict[str, str] = {}
+    for meta in sorted(dataset_dir.glob("*.json")):
+        try:
+            items = json.loads(meta.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(items, list):
+            continue
+        for item in items:
+            if not isinstance(item, dict):
+                continue
+            name = item.get("audio") or item.get("file") or item.get("filename")
+            text = item.get("text") or item.get("transcript")
+            if isinstance(name, str) and isinstance(text, str):
+                out[Path(name).name] = text
+    return out
+
+
 def run_regression(
     pipeline,
     dataset_dir: Path | str,
@@ -82,12 +145,13 @@ def run_regression(
     if model_name == "unknown_model":
         raise ValueError("fault injection: unknown_model is not a valid model")
 
-    dataset_dir = Path(dataset_dir)
+    dataset_dir = resolve_dataset(dataset_dir)
     audio_exts = {".wav", ".flac", ".mp3", ".m4a", ".ogg"}
     files = sorted(p for p in dataset_dir.iterdir() if p.suffix.lower() in audio_exts)
     if max_files:
         files = files[:max_files]
     options = options or DecodingOptions()
+    meta_transcripts = _metadata_transcripts(dataset_dir)
 
     stats: list[RegressionStats] = []
     for path in files:
@@ -96,10 +160,14 @@ def run_regression(
         mem_post = _resident_memory_mb()
         t = result.timings
 
+        # ground truth: sibling .txt (offline layout) or the reference's
+        # metadata-json mapping (HF whisperkit-test-data layout)
         ref_path = path.with_suffix(".txt")
         wer_val = None
         if ref_path.exists():
             wer_val = evaluate(ref_path.read_text(), result.text).wer
+        elif path.name in meta_transcripts:
+            wer_val = evaluate(meta_transcripts[path.name], result.text).wer
 
         tps = t.tokens_per_second
         rec = RegressionStats(
@@ -134,12 +202,14 @@ def run_regression(
 def main(argv=None) -> int:
     """CLI: local checkpoint + local dataset folder → WER/perf stats.
 
-    python -m whisperkit_tpu.eval.regression <model_folder> <dataset_dir>
+    python -m whisperkit_tpu.eval.regression <model_folder> <dataset>
         [--out stats.jsonl] [--language en] [--max-files N]
 
-    The dataset folder holds audio files with sibling same-stem `.txt`
-    reference transcripts (offline equivalent of the reference's HF
-    `whisperkit-test-data` datasets, RegressionTests.swift:33-38). The
+    <dataset> is either a local folder of audio files (sibling same-stem
+    `.txt` transcripts, or a reference-style metadata .json) or one of the
+    reference's benchmark dataset names (librispeech-10mins /
+    earnings22-10mins), resolved offline-first from the HF dataset repo
+    (RegressionTests.swift:33-38). The
     model folder is an HF-format Whisper checkpoint (config.json +
     model.safetensors + tokenizer files) placed locally — the shipped-
     weights story for zero-egress deployments (docs/PARITY.md).

@@ -8,9 +8,13 @@ replacement (SURVEY.md §7.7 "continuous batching of 30 s windows across
 concurrent streams"):
 
   * `submit()` enqueues a request from any thread, returns a Future
-  * a collector thread gathers compatible jobs (same decode-options
-    signature → same compiled shapes) for up to `max_wait_ms`, up to
-    `max_batch`
+  * a collector thread gathers compatible work for up to `max_wait_ms`,
+    up to `max_batch` WINDOWS per batch
+  * requests longer than one window are VAD-chunked into per-window units
+    that batch TOGETHER with other requests' windows (r4: previously a
+    long job decoded alone through the pipeline's fixed-size groups,
+    wasting up to 12/16 rows — measured mixed-load p99 28 s); the parent
+    request resolves when its last window lands
   * one batched mel → encode → decode runs per group; results fan back out
 
 Batch sizes are bucketed to powers of two (padding with silent windows) so
@@ -32,7 +36,7 @@ import numpy as np
 
 from whisperkit_tpu.audio.io import SAMPLE_RATE, pad_or_trim
 from whisperkit_tpu.core.configurations import DecodingOptions
-from whisperkit_tpu.core.results import TranscriptionResult
+from whisperkit_tpu.core.results import TranscriptionResult, TranscriptionSegment
 from whisperkit_tpu.text.segment_seeker import (
     WINDOW_FRAMES,
     find_seek_point_and_segments,
@@ -42,7 +46,7 @@ WINDOW_SAMPLES = 480_000
 
 
 def _options_key(options: DecodingOptions) -> tuple:
-    """Jobs share one batched decode ONLY when every decode-affecting
+    """Units share one batched decode ONLY when every decode-affecting
     option matches (the whole group is decoded with one options object)."""
     return (
         options.language,
@@ -71,17 +75,46 @@ def _options_key(options: DecodingOptions) -> tuple:
 
 
 @dataclasses.dataclass
-class _Job:
+class _LongJob:
+    """A >1-window request awaiting its VAD-chunked windows."""
+
+    future: concurrent.futures.Future
+    options: DecodingOptions
+    audio_seconds: float
+    metas: list[tuple[int, int]]  # per window: (seek_offset samples, frames)
+    decodes: dict[int, object] = dataclasses.field(default_factory=dict)
+    language: Optional[str] = None
+
+    @property
+    def complete(self) -> bool:
+        return len(self.decodes) == len(self.metas)
+
+
+@dataclasses.dataclass
+class _Window:
+    """One ≤30 s decode unit: a whole short request, or one chunk of a
+    long request."""
+
+    audio: np.ndarray
+    options: DecodingOptions
+    enqueued_at: float
+    future: Optional[concurrent.futures.Future] = None  # short requests
+    parent: Optional[_LongJob] = None  # long-request chunks
+    index: int = 0
+    seek_offset: int = 0
+
+
+@dataclasses.dataclass
+class _Request:
     audio: np.ndarray
     options: DecodingOptions
     future: concurrent.futures.Future
     enqueued_at: float
-    long: bool = False  # > one window: runs alone via pipeline.transcribe
 
 
 class BatchScheduler:
-    """Batches ≤30 s requests; longer audio falls back to the pipeline's
-    own (already batched) VAD path."""
+    """Batches ≤30 s windows across requests; long audio is VAD-chunked
+    into windows that join the same batches."""
 
     def __init__(
         self,
@@ -93,12 +126,14 @@ class BatchScheduler:
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
-        self._queue: "queue.Queue[Optional[_Job]]" = queue.Queue()
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._pending: list[_Window] = []  # windows awaiting a batch slot
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._running = True
         self._thread.start()
         self.batches_run = 0
         self.jobs_run = 0
+        self.windows_run = 0
 
     # -- public API ----------------------------------------------------------
 
@@ -108,16 +143,10 @@ class BatchScheduler:
         options = options or DecodingOptions()
         future: concurrent.futures.Future = concurrent.futures.Future()
         audio = np.asarray(audio, np.float32)
-        # long-form jobs also go through the collector thread: the pipeline
-        # object is not thread-safe (timings, language cache, lazy mesh), so
-        # ALL pipeline use is serialized on that one thread; the long job's
-        # own windows still batch internally via the VAD path
-        self._queue.put(
-            _Job(
-                audio, options, future, time.perf_counter(),
-                long=len(audio) > WINDOW_SAMPLES,
-            )
-        )
+        # ALL pipeline use (including VAD chunking of long requests) is
+        # serialized on the collector thread: the pipeline object is not
+        # thread-safe (timings, language cache, lazy mesh)
+        self._queue.put(_Request(audio, options, future, time.perf_counter()))
         return future
 
     def transcribe(self, audio, options=None, timeout: Optional[float] = None):
@@ -130,60 +159,103 @@ class BatchScheduler:
 
     # -- collector loop -------------------------------------------------------
 
+    def _expand(self, req: _Request) -> list[_Window]:
+        """A request becomes one window, or (long) its VAD-chunked windows
+        sharing a _LongJob accumulator (the pipeline's chunking semantics:
+        pipelines/whisper._transcribe_vad_chunked)."""
+        if len(req.audio) <= WINDOW_SAMPLES:
+            return [
+                _Window(req.audio, req.options, req.enqueued_at, future=req.future)
+            ]
+        from whisperkit_tpu.audio.chunker import VADAudioChunker
+
+        pipe = self.pipeline
+        chunker = VADAudioChunker()
+        content_frames = len(req.audio) // 160
+        clips = pipe._prepare_seek_clips(req.options, content_frames)
+        chunks = []
+        for clip_start_f, clip_end_f in clips:
+            region = req.audio[clip_start_f * 160 : clip_end_f * 160]
+            for c in chunker.chunk_all(region, max_chunk_length=WINDOW_SAMPLES):
+                c.seek_offset_index += clip_start_f * 160
+                chunks.append(c)
+        job = _LongJob(
+            future=req.future,
+            options=req.options,
+            audio_seconds=len(req.audio) / SAMPLE_RATE,
+            metas=[
+                (
+                    c.seek_offset_index,
+                    min(WINDOW_FRAMES, math.ceil(len(c.audio_samples) / 160)),
+                )
+                for c in chunks
+            ],
+        )
+        return [
+            _Window(
+                c.audio_samples, req.options, req.enqueued_at,
+                parent=job, index=i, seek_offset=c.seek_offset_index,
+            )
+            for i, c in enumerate(chunks)
+        ]
+
     def _run(self) -> None:
         while self._running:
-            job = self._queue.get()
-            if job is None:
-                continue
-            if job.long:
+            # refill: block for the first unit unless windows are pending
+            if not self._pending:
+                req = self._queue.get()
+                if req is None:
+                    continue
                 try:
-                    job.future.set_result(
-                        self.pipeline.transcribe(job.audio, job.options)
-                    )
-                    self.jobs_run += 1
+                    self._pending.extend(self._expand(req))
                 except Exception as e:
-                    job.future.set_exception(e)
-                continue
-            group = [job]
+                    req.future.set_exception(e)
+                    continue
+            # gather more compatible work for up to max_wait_ms
             deadline = time.perf_counter() + self.max_wait_ms / 1000.0
-            key = _options_key(job.options)
-            spill: list[_Job] = []
-            while len(group) < self.max_batch:
+            while len(self._pending) < self.max_batch:
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0:
                     break
                 try:
-                    nxt = self._queue.get(timeout=remaining)
+                    req = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
-                if nxt is None:
+                if req is None:
                     break
-                if not nxt.long and _options_key(nxt.options) == key:
-                    group.append(nxt)
-                else:
-                    spill.append(nxt)  # different options/long job: next round
-            for s in spill:
-                self._queue.put(s)
+                try:
+                    self._pending.extend(self._expand(req))
+                except Exception as e:
+                    req.future.set_exception(e)
+
+            # one batch = up to max_batch pending windows with ONE options
+            # signature (first unit's); the rest stay pending
+            key = _options_key(self._pending[0].options)
+            group = [w for w in self._pending if _options_key(w.options) == key]
+            group = group[: self.max_batch]
+            taken = set(map(id, group))
+            self._pending = [w for w in self._pending if id(w) not in taken]
             try:
                 self._process_group(group)
             except Exception as e:
-                for j in group:
-                    if not j.future.done():
-                        j.future.set_exception(e)
+                for w in group:
+                    fut = w.future or (w.parent.future if w.parent else None)
+                    if fut is not None and not fut.done():
+                        fut.set_exception(e)
 
     # -- batched execution -----------------------------------------------------
 
     def _bucket(self, n: int) -> int:
         return min(self.max_batch, 1 << max(0, math.ceil(math.log2(max(n, 1)))))
 
-    def _process_group(self, group: list[_Job]) -> None:
+    def _process_group(self, group: list[_Window]) -> None:
         pipe = self.pipeline
         options = group[0].options
         n = len(group)
         bucket = self._bucket(n)
 
         mels = [
-            pipe._mel(pad_or_trim(j.audio, WINDOW_SAMPLES)) for j in group
+            pipe._mel(pad_or_trim(w.audio, WINDOW_SAMPLES)) for w in group
         ]
         while len(mels) < bucket:  # pad to the bucket with silence
             mels.append(pipe._mel(np.zeros(WINDOW_SAMPLES, np.float32)))
@@ -194,40 +266,80 @@ class BatchScheduler:
         language = pipe._resolve_language(options, ck, cv, n)
         decodes = pipe._decode_with_fallback(ck, cv, options, language, 0)[:n]
 
-        sp = pipe.tokenizer.special
-        for job, wd in zip(group, decodes):
-            try:
-                window_frames = min(
-                    WINDOW_FRAMES, math.ceil(len(job.audio) / 160)
-                )
-                if pipe._should_skip_silent(wd, options):
-                    segments = []
-                else:
-                    res = find_seek_point_and_segments(
-                        tokens=wd.tokens,
-                        token_logprobs=wd.logprobs,
-                        special=sp,
-                        time_offset=0.0,
-                        window_frames=window_frames,
-                        seek=0,
-                        decode_fn=pipe.tokenizer.decode,
-                        temperature=wd.temperature,
-                        avg_logprob=wd.avg_logprob,
-                        compression_ratio=wd.compression_ratio,
-                        no_speech_prob=wd.no_speech_prob,
-                    )
-                    segments = res.segments
-                    if options.word_timestamps and wd.alignment is not None:
-                        segments = pipe._add_word_timestamps(
-                            segments, wd, 0.0, window_frames, options
-                        )
-                text = "".join(s.text for s in segments).strip()
-                result = TranscriptionResult(
-                    text=text, segments=segments, language=language
-                )
-                result.timings.input_audio_seconds = len(job.audio) / SAMPLE_RATE
-                job.future.set_result(result)
-            except Exception as e:
-                job.future.set_exception(e)
+        for w, wd in zip(group, decodes):
+            if w.parent is None:
+                self._finish_short(w, wd, language)
+                self.jobs_run += 1
+            else:
+                w.parent.decodes[w.index] = wd
+                if w.parent.language is None:
+                    w.parent.language = language
+                if w.parent.complete:
+                    self._finish_long(w.parent)
+                    self.jobs_run += 1
         self.batches_run += 1
-        self.jobs_run += n
+        self.windows_run += n
+
+    def _segments_for_window(
+        self, wd, options, *, seek_offset: int, window_frames: int,
+        segment_id_start: int = 0,
+    ) -> list[TranscriptionSegment]:
+        pipe = self.pipeline
+        if pipe._should_skip_silent(wd, options):
+            return []
+        res = find_seek_point_and_segments(
+            tokens=wd.tokens,
+            token_logprobs=wd.logprobs,
+            special=pipe.tokenizer.special,
+            time_offset=seek_offset / SAMPLE_RATE,
+            window_frames=window_frames,
+            seek=seek_offset // 160,
+            decode_fn=pipe.tokenizer.decode,
+            temperature=wd.temperature,
+            avg_logprob=wd.avg_logprob,
+            compression_ratio=wd.compression_ratio,
+            no_speech_prob=wd.no_speech_prob,
+            segment_id_start=segment_id_start,
+        )
+        segments = res.segments
+        if options.word_timestamps and wd.alignment is not None:
+            segments = pipe._add_word_timestamps(
+                segments, wd, seek_offset / SAMPLE_RATE, window_frames, options
+            )
+        return segments
+
+    def _finish_short(self, w: _Window, wd, language: str) -> None:
+        try:
+            window_frames = min(WINDOW_FRAMES, math.ceil(len(w.audio) / 160))
+            segments = self._segments_for_window(
+                wd, w.options, seek_offset=0, window_frames=window_frames
+            )
+            result = TranscriptionResult(
+                text="".join(s.text for s in segments).strip(),
+                segments=segments, language=language,
+            )
+            result.timings.input_audio_seconds = len(w.audio) / SAMPLE_RATE
+            w.future.set_result(result)
+        except Exception as e:
+            w.future.set_exception(e)
+
+    def _finish_long(self, job: _LongJob) -> None:
+        try:
+            all_segments: list[TranscriptionSegment] = []
+            for i, (seek_offset, window_frames) in enumerate(job.metas):
+                all_segments.extend(
+                    self._segments_for_window(
+                        job.decodes[i], job.options,
+                        seek_offset=seek_offset, window_frames=window_frames,
+                        segment_id_start=len(all_segments),
+                    )
+                )
+            result = TranscriptionResult(
+                text="".join(s.text for s in all_segments).strip(),
+                segments=all_segments,
+                language=job.language or "en",
+            )
+            result.timings.input_audio_seconds = job.audio_seconds
+            job.future.set_result(result)
+        except Exception as e:
+            job.future.set_exception(e)

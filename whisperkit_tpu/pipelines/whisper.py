@@ -841,10 +841,36 @@ class WhisperPipeline:
         options: DecodingOptions,
         callback=None,
     ) -> TranscriptionResult:
-        """Sequential seek-window loop (reference: TranscribeTask.swift:57-296)."""
+        """Sequential seek-window loop (reference: TranscribeTask.swift:57-296).
+
+        Long-form mel follows openai/whisper `transcribe()` exactly: the
+        log-mel is computed ONCE over the whole audio (zero-padded to a
+        30 s-bucket boundary plus one extra window, so every 3000-frame
+        window slice is in range) with the max-clamp normalization GLOBAL
+        over the file, and each seek window is a slice of it. This is both
+        cheaper than re-melling overlapping windows (the reference's
+        per-window CoreML mel, FeatureExtractor.swift:40-56, recomputes the
+        overlap and normalizes per window) and bit-matches the
+        openai/transformers long-form semantics the full-pipeline parity
+        test pins (tests/test_hf_generate_parity.py). Bucketing keeps the
+        compiled mel shapes to one per 30 s of audio length.
+        """
         sp = self.tokenizer.special
         content_frames = len(audio) // 160
         seek_clips = self._prepare_seek_clips(options, content_frames)
+
+        full_mel = None
+        if content_frames > WINDOW_FRAMES:
+            total_frames = (content_frames // WINDOW_FRAMES + 2) * WINDOW_FRAMES
+            padded = np.zeros(total_frames * 160, np.float32)
+            padded[: len(audio)] = audio
+            t_mel = time.perf_counter()
+            full_mel = log_mel_spectrogram(
+                jnp.asarray(padded), n_mels=self.dims.n_mels,
+                n_frames=total_frames,
+            )
+            self.timings.log_mels += time.perf_counter() - t_mel
+            self.timings.total_log_mel_runs += 1
 
         all_segments: list[TranscriptionSegment] = []
         language = options.language
@@ -857,12 +883,21 @@ class WhisperPipeline:
                 remaining = content_frames - seek
                 if seek > clip_start and remaining < window_padding:
                     break  # trailing sliver, reference windowClipTime padding
-                window = audio[seek * 160 : seek * 160 + WINDOW_SAMPLES]
                 window_frames = min(WINDOW_FRAMES, min(remaining, clip_end - seek))
-                t_mel = time.perf_counter()
-                mel = self._mel(pad_or_trim(window, WINDOW_SAMPLES))[None]
-                self.timings.log_mels += time.perf_counter() - t_mel
-                self.timings.total_log_mel_runs += 1
+                self.window_preprocess(
+                    audio[seek * 160 : seek * 160 + WINDOW_SAMPLES],
+                    seek, window_frames,
+                )
+                if full_mel is not None:
+                    mel = jax.lax.dynamic_slice_in_dim(
+                        full_mel, seek, WINDOW_FRAMES, axis=-1
+                    )[None]
+                else:
+                    window = audio[seek * 160 : seek * 160 + WINDOW_SAMPLES]
+                    t_mel = time.perf_counter()
+                    mel = self._mel(pad_or_trim(window, WINDOW_SAMPLES))[None]
+                    self.timings.log_mels += time.perf_counter() - t_mel
+                    self.timings.total_log_mel_runs += 1
                 t_enc = time.perf_counter()
                 _, ck, cv = self._encode(mel, options)
                 self.timings.encoding += time.perf_counter() - t_enc
@@ -904,6 +939,7 @@ class WhisperPipeline:
                     segs = self._add_word_timestamps(
                         segs, wd, seek / FRAMES_PER_SECOND, window_frames, options
                     )
+                segs = self.window_post_process(seek, window_frames, segs)
                 all_segments.extend(segs)
 
                 advance = res.seek_advance_frames
@@ -935,6 +971,23 @@ class WhisperPipeline:
             segments=all_segments,
             language=language or "en",
         )
+
+    # -- subclass hooks ------------------------------------------------------
+
+    def window_preprocess(
+        self, window_audio: np.ndarray, seek: int, segment_size: int
+    ) -> None:
+        """Subclass hook invoked before each seek window is decoded — for
+        side work that can run alongside the decode (reference:
+        TranscribeTask.swift:42-47 `windowPreprocess`)."""
+
+    def window_post_process(
+        self, seek: int, segment_size: int, segments: list
+    ) -> list:
+        """Subclass hook invoked after a seek window's segments are built;
+        may replace them (reference: TranscribeTask.swift:49-55
+        `windowPostProcess`)."""
+        return segments
 
     def _prepare_seek_clips(
         self, options: DecodingOptions, content_frames: int
