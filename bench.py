@@ -153,10 +153,10 @@ def main() -> None:
     turbo_rtf = bf16_rtf = quant_rtf = None
     if on_tpu:
         bf16_rtf, _, _, _ = run_pipeline(variant, 16)
-        # W8A16 stays at 16-window groups: at b=32 XLA hoists the per-layer
-        # weight dequants out of the while_loop, re-materializing ~3 GB of
-        # bf16 weights next to the int8 tree (OOM)
-        quant_rtf, _, _, _ = run_pipeline(variant, 16, int8_kv=True, w8a16=True)
+        # W8A16 at b=32 (r4): the r3 OOM was the bf16 cross-KV peak, not
+        # the hoisted dequants — with the fused per-layer int8 cross-KV it
+        # fits (probe: 0.00591/0.00617, tools/probe_w8a16_b32.py)
+        quant_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True, w8a16=True)
         turbo_rtf, _, _, _ = run_pipeline("large-v3-turbo", 32)
 
     # ---- secondary: serving under concurrent load (VERDICT r2 #2) ----------

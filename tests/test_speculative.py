@@ -1,0 +1,158 @@
+"""Speculative decoding — lossless draft-verify (decoding/speculative.py).
+
+The core property: for ANY draft model sharing the vocab, the committed
+sequence is EXACTLY decode_loop's greedy output (the draft only changes
+how many target passes it takes to produce it). New TPU-only feature —
+no reference equivalent (the reference decodes one token per ANE call).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from whisperkit_tpu.decoding.loop import (  # noqa: E402
+    DecodeScalars,
+    decode_loop,
+    encode_window,
+)
+from whisperkit_tpu.decoding.speculative import speculative_decode_loop  # noqa: E402
+from whisperkit_tpu.models.whisper import WhisperDims, init_params  # noqa: E402
+from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab  # noqa: E402
+
+DIMS = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+DRAFT_DIMS = WhisperDims(80, 207, 1500, 32, 4, 1, 64, 32, 4, 1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # f32 params: the verify pass (T=k+1 layer scan) and the greedy loop
+    # (T=1 unrolled) are different XLA programs — in bf16 their rounding
+    # differs at ~1e-2, in f32 (HIGHEST precision) they agree to ~1e-5,
+    # which is what makes the logprob equality assertion meaningful
+    target = init_params(jax.random.PRNGKey(0), DIMS, jnp.float32)
+    draft = init_params(jax.random.PRNGKey(7), DRAFT_DIMS, jnp.float32)
+    sp = special_tokens_for_vocab(DIMS.n_vocab)
+    mel = (
+        jax.random.normal(jax.random.PRNGKey(1), (1, 80, 3000)) * 0.5
+    ).astype(jnp.float32)
+    _, ck, cv = encode_window(target, mel, DIMS)
+    _, dck, dcv = encode_window(draft, mel, DRAFT_DIMS)
+    return target, draft, sp, (ck, cv), (dck, dcv)
+
+
+def _scalars(first_thresh=float("-inf")):
+    return DecodeScalars(
+        temperature=jnp.float32(0.0),
+        max_initial_timestamp_index=jnp.int32(50),
+        first_token_logprob_threshold=jnp.float32(first_thresh),
+        rng_key=jax.random.PRNGKey(0),
+    )
+
+
+def _greedy_reference(target, ck, cv, prompt, sp, suppress, max_new, **kw):
+    return decode_loop(
+        target, ck, cv, prompt, suppress, _scalars(kw.pop("first_thresh", float("-inf"))),
+        dims=DIMS, special=sp, sample_begin=prompt.shape[1],
+        max_new_tokens=max_new, top_k=5, sot_index=0,
+        use_timestamp_rules=kw.pop("rules", True),
+        suppress_blank=kw.pop("blank", False),
+    )
+
+
+@pytest.mark.parametrize("draft_kind", ["independent", "self"])
+@pytest.mark.parametrize("draft_k", [1, 3, 4])
+def test_speculative_equals_greedy(setup, draft_kind, draft_k):
+    """Lossless vs decode_loop for an INDEPENDENT random draft (worst-case
+    acceptance) and for draft==target (always-accept fast path)."""
+    target, draft, sp, (ck, cv), (dck, dcv) = setup
+    if draft_kind == "self":
+        draft, draft_dims, dkv = target, DIMS, (ck, cv)
+    else:
+        draft_dims, dkv = DRAFT_DIMS, (dck, dcv)
+    prompt = jnp.asarray([[sp.sot, sp.transcribe]], jnp.int32)
+    suppress = jnp.zeros((DIMS.n_vocab,), jnp.float32)
+    max_new = 24
+
+    ref = _greedy_reference(target, ck, cv, prompt, sp, suppress, max_new)
+    out = speculative_decode_loop(
+        target, draft, ck, cv, dkv[0], dkv[1], prompt, suppress, _scalars(),
+        dims=DIMS, draft_dims=draft_dims, special=sp, sample_begin=2,
+        max_new_tokens=max_new, draft_k=draft_k,
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    np.testing.assert_allclose(
+        np.asarray(out.token_logprobs), np.asarray(ref.token_logprobs),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.no_speech_prob), np.asarray(ref.no_speech_prob),
+        rtol=1e-4,
+    )
+
+
+def test_speculative_first_token_threshold(setup):
+    """An impossible first-token logprob floor must produce the same
+    immediate stop as the greedy loop."""
+    target, draft, sp, (ck, cv), (dck, dcv) = setup
+    prompt = jnp.asarray([[sp.sot, sp.transcribe]], jnp.int32)
+    suppress = jnp.zeros((DIMS.n_vocab,), jnp.float32)
+
+    ref = _greedy_reference(
+        target, ck, cv, prompt, sp, suppress, 12, first_thresh=1e9
+    )
+    out = speculative_decode_loop(
+        target, draft, ck, cv, dck, dcv, prompt, suppress, _scalars(1e9),
+        dims=DIMS, draft_dims=DRAFT_DIMS, special=sp, sample_begin=2,
+        max_new_tokens=12, draft_k=3,
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    # every sampled slot is EOT padding on both sides
+    assert (np.asarray(out.tokens)[0, 2:] == sp.eot).all()
+
+
+def test_speculative_eot_stop(setup):
+    """Bias EOT so the target hits it mid-stream: both loops must stop at
+    the same position with the same committed EOT."""
+    target, draft, sp, (ck, cv), (dck, dcv) = setup
+    prompt = jnp.asarray([[sp.sot, sp.transcribe]], jnp.int32)
+    # nudge eot upward so the greedy path reaches it after a few steps
+    suppress = jnp.zeros((DIMS.n_vocab,), jnp.float32).at[sp.eot].set(2.0)
+
+    ref = _greedy_reference(
+        target, ck, cv, prompt, sp, suppress, 16, rules=False
+    )
+    out = speculative_decode_loop(
+        target, draft, ck, cv, dck, dcv, prompt, suppress, _scalars(),
+        dims=DIMS, draft_dims=DRAFT_DIMS, special=sp, sample_begin=2,
+        max_new_tokens=16, draft_k=4, use_timestamp_rules=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+
+
+def test_speculative_pipeline_integration(setup):
+    """WhisperPipeline(draft_dims/draft_params): batch-1 greedy decodes
+    route through the speculative loop and produce the same transcription
+    as the plain pipeline."""
+    from whisperkit_tpu.core.configurations import DecodingOptions
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    target, draft, sp, _, _ = setup
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(16000 * 4) * 0.1).astype(np.float32)
+    opts = DecodingOptions(
+        language="en", sample_length=12, temperature_fallback_count=0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, first_token_log_prob_threshold=None,
+    )
+    plain = WhisperPipeline(dims=DIMS, params=target)
+    spec = WhisperPipeline(
+        dims=DIMS, params=target, draft_dims=DRAFT_DIMS, draft_params=draft
+    )
+    r_plain = plain.transcribe(audio, opts)
+    r_spec = spec.transcribe(audio, opts)
+    assert [s.tokens for s in r_spec.segments] == [
+        s.tokens for s in r_plain.segments
+    ]
+    assert r_spec.text == r_plain.text

@@ -92,6 +92,8 @@ class WhisperPipeline:
         params=None,
         tokenizer=None,
         alignment_heads: Optional[np.ndarray] = None,
+        draft_dims: Optional[WhisperDims] = None,
+        draft_params=None,
         **kwargs,
     ):
         from whisperkit_tpu.core.compile_cache import enable_compilation_cache
@@ -107,6 +109,13 @@ class WhisperPipeline:
         self._suppress_cache: dict[tuple, jnp.ndarray] = {}
         self._detected_language: Optional[str] = None
         self._mesh_plan = None  # lazily built when >1 device is visible
+        # speculative decoding (batch-1 latency mode): a small draft model
+        # sharing the vocab (e.g. large-v3-turbo for large-v3) makes greedy
+        # batch-1 decodes run the lossless draft-verify loop
+        # (decoding/speculative.py)
+        self.draft_dims = draft_dims
+        self.draft_params = draft_params
+        self._draft_kv = None  # (cross_k, cross_v) of the current window
         # optional cross-thread cancellation (core/concurrency.EarlyStopFlag
         # or anything with .should_stop). When set, greedy decodes run as
         # resumable ~32-token segments and the flag is polled between them —
@@ -293,11 +302,24 @@ class WhisperPipeline:
 
     def _encode(self, mel_batch, options: DecodingOptions):
         """encode_window with the serving-mode int8 cross-KV fused in
-        (greedy path only — beam search tiles the raw bf16 arrays)."""
+        (greedy path only — beam search tiles the raw bf16 arrays). When a
+        draft model is attached and the batch is 1, the draft's cross-KV
+        for the same window is computed alongside for speculative decode."""
         quantize = (
             self.config.compute_options.quantize_cross_kv
             and options.beam_size <= 1
         )
+        if (
+            self.draft_params is not None
+            and mel_batch.shape[0] == 1
+            and options.beam_size <= 1
+        ):
+            _, dck, dcv = encode_window(
+                self.draft_params, mel_batch, self.draft_dims
+            )
+            self._draft_kv = (dck, dcv)
+        else:
+            self._draft_kv = None
         return encode_window(
             self.params, mel_batch, self.dims, quantize_kv=quantize
         )
@@ -408,6 +430,32 @@ class WhisperPipeline:
                     use_timestamp_rules=not options.without_timestamps,
                     suppress_blank=options.suppress_blank,
                     length_penalty=options.length_penalty,
+                )
+            elif (
+                self._draft_kv is not None
+                and b == 1
+                and temperature == 0.0
+                and not capture
+                and self.early_stop_flag is None
+                and not self.config.compute_options.segmented_decode
+            ):
+                # batch-1 latency mode: lossless draft-verify (greedy-exact
+                # for any draft; decoding/speculative.py). Computes its own
+                # headroom-sized prefill — the shared get_prefill() buffers
+                # are sized to `total` and would clamp the verify writes.
+                from whisperkit_tpu.decoding.speculative import (
+                    speculative_decode_loop,
+                )
+
+                dck, dcv = self._draft_kv
+                out = speculative_decode_loop(
+                    self.params, self.draft_params, cross_k, cross_v,
+                    dck, dcv, prompt_arr, suppress, scalars,
+                    dims=self.dims, draft_dims=self.draft_dims, special=sp,
+                    sample_begin=len(prompt), max_new_tokens=max_new,
+                    sot_index=sot_index,
+                    use_timestamp_rules=not options.without_timestamps,
+                    suppress_blank=options.suppress_blank,
                 )
             else:
                 flag = self.early_stop_flag
@@ -696,6 +744,14 @@ class WhisperPipeline:
 
         plan = self._mesh()
         group = max(1, options.concurrent_worker_count)
+        # clamp to the chunk-count bucket: decoding a group runs the
+        # while_loop until its SLOWEST row, so pad rows burn the full token
+        # budget — a 12 min file (~24 chunks) at group 64 measured 0.0041
+        # RTF vs 0.0027 at group 32 (tools/probe_turbo_b64.py). Power-of-two
+        # buckets keep the compiled-shape count logarithmic.
+        if chunks:
+            bucket = 1 << max(0, math.ceil(math.log2(len(chunks))))
+            group = min(group, bucket)
         if plan is not None:
             group = plan.pad_batch(group)  # dp multiple
         pad_mel = None
@@ -794,7 +850,7 @@ class WhisperPipeline:
             all_segments.extend(segs)
         text = "".join(s.text for s in all_segments)
         return TranscriptionResult(
-            text=text.strip(), segments=all_segments, language=language
+            text=text.strip(), segments=all_segments, language=language or "en"
         )
 
     def _resolve_language(self, options: DecodingOptions, ck, cv, n_rows=None) -> str:
