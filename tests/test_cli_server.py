@@ -197,6 +197,41 @@ def test_cli_transcribe_end_to_end(tmp_path, pipe, monkeypatch, capsys):
     assert "segments" in data
 
 
+def test_cli_build_pipeline_with_draft_model(tmp_path):
+    """--draft-model-folder loads a second checkpoint and arms the
+    batch-1 speculative path (decoding/speculative.py)."""
+    import argparse
+
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig as HFWhisperConfig
+    from transformers import WhisperForConditionalGeneration
+
+    cfg = dict(
+        vocab_size=207, num_mel_bins=80, d_model=64, encoder_layers=2,
+        encoder_attention_heads=4, decoder_layers=2,
+        decoder_attention_heads=4, encoder_ffn_dim=256, decoder_ffn_dim=256,
+        max_source_positions=150, max_target_positions=64, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=[], begin_suppress_tokens=[],
+    )
+    for name, seed in (("target", 0), ("draft", 1)):
+        torch.manual_seed(seed)
+        WhisperForConditionalGeneration(
+            HFWhisperConfig(**cfg)
+        ).save_pretrained(tmp_path / name, safe_serialization=True)
+
+    from whisperkit_tpu.cli import main as cli_main
+
+    args = argparse.Namespace(
+        model=None, model_repo=None, model_folder=str(tmp_path / "target"),
+        tokenizer_folder=None, download=False, prewarm=False, verbose=False,
+        draft_model_folder=str(tmp_path / "draft"),
+    )
+    built = cli_main._build_pipeline(args)
+    assert built.draft_params is not None
+    assert built.draft_dims.n_vocab == built.dims.n_vocab
+
+
 def test_cli_diarization_combo(tmp_path, pipe, monkeypatch, capsys):
     """--diarization merges speaker labels into the transcript output."""
     from whisperkit_tpu.cli import main as cli_main

@@ -23,6 +23,12 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-download", dest="download", action="store_false")
     p.add_argument("--prewarm", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument(
+        "--draft-model-folder", default=None,
+        help="local checkpoint of a vocab-sharing draft model (e.g. turbo "
+        "for large-v3): batch-1 greedy decodes run lossless speculative "
+        "decoding (decoding/speculative.py)",
+    )
 
 
 def _add_decoding_args(p: argparse.ArgumentParser) -> None:
@@ -149,7 +155,14 @@ def _build_pipeline(args):
         prewarm=args.prewarm,
         verbose=args.verbose,
     )
-    return WhisperPipeline(config)
+    draft_dims = draft_params = None
+    if getattr(args, "draft_model_folder", None):
+        from whisperkit_tpu.models.loader import load_whisper
+
+        draft_dims, draft_params, _ = load_whisper(args.draft_model_folder)
+    return WhisperPipeline(
+        config, draft_dims=draft_dims, draft_params=draft_params
+    )
 
 
 def cmd_transcribe(args) -> int:
