@@ -302,8 +302,9 @@ def test_full_pipeline_matches_hf_longform_with_fallback_ladder(real_layout_pair
         assert _strip_ts(h["tokens"]) == _strip_ts(o.tokens)
 
 
-def test_short_clip_matches_hf_multilingual(real_layout_pair):
-    """Single-window path on the es fixture with a non-English language
+@pytest.mark.parametrize("fixture", ["es_test_clip.wav", "ja_test_clip.wav"])
+def test_short_clip_matches_hf_multilingual(real_layout_pair, fixture):
+    """Single-window path on the es/ja fixtures with a non-English language
     token in the prompt: HF short-form generate vs our pipeline."""
     from whisperkit_tpu.audio.io import load_audio, pad_or_trim
     from whisperkit_tpu.core.configurations import DecodingOptions
@@ -313,10 +314,10 @@ def test_short_clip_matches_hf_multilingual(real_layout_pair):
     model, dims, params = real_layout_pair
     try:
         audio = load_audio(
-            "/root/reference/Tests/WhisperKitTests/Resources/es_test_clip.wav"
+            f"/root/reference/Tests/WhisperKitTests/Resources/{fixture}"
         )
     except Exception:
-        pytest.skip("es fixture unavailable")
+        pytest.skip(f"{fixture} unavailable")
     audio = audio[: 16_000 * 30]
 
     mel = np.asarray(

@@ -1,0 +1,68 @@
+"""Long-form scaling probe: 60 minutes through the serving headline config.
+
+The bench headline uses 12 min (~24-32 chunks = one b=32 group); an hour
+(~120 chunks, 4 full groups) shows how RTF scales when group amortization
+is fully warm — the deployment-relevant long-file number.
+
+Run: python tools/probe_long_audio.py [--minutes 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    import jax
+
+    from whisperkit_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bench import synth_speechlike_audio
+    from whisperkit_tpu.core.configurations import (
+        ComputeOptions,
+        DecodingOptions,
+        WhisperConfig,
+    )
+    from whisperkit_tpu.models.whisper import VARIANT_DIMS, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=60.0)
+    args = ap.parse_args()
+
+    dims = VARIANT_DIMS["large-v3"]
+    pipe = WhisperPipeline(
+        WhisperConfig(compute_options=ComputeOptions.serving()),
+        dims=dims, params=init_params(jax.random.PRNGKey(0), dims),
+    )
+    options = DecodingOptions(
+        language="en", chunking_strategy="vad", sample_length=224,
+        temperature_fallback_count=0, logprob_threshold=None,
+        compression_ratio_threshold=None, no_speech_threshold=None,
+        first_token_log_prob_threshold=None, concurrent_worker_count=32,
+    )
+    audio = synth_speechlike_audio(args.minutes * 60.0, seed=11)
+    pipe.transcribe(audio[: 16_000 * 60 * 12], options)  # warm 12-min shapes
+    t0 = time.perf_counter()
+    res = pipe.transcribe(audio, options)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"pipeline_rtf_large-v3_serving_b32_{int(args.minutes)}min",
+        "rtf": round(dt / (args.minutes * 60.0), 5),
+        "windows": int(pipe.timings.total_decoding_windows),
+        "tokens_per_second": round(
+            pipe.timings.total_decoding_loops / dt, 1
+        ),
+        "segments": len(res.segments),
+    }))
+
+
+if __name__ == "__main__":
+    main()

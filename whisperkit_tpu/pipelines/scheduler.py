@@ -34,7 +34,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from whisperkit_tpu.audio.io import SAMPLE_RATE, pad_or_trim
+from whisperkit_tpu.audio.io import SAMPLE_RATE
 from whisperkit_tpu.core.configurations import DecodingOptions
 from whisperkit_tpu.core.results import TranscriptionResult, TranscriptionSegment
 from whisperkit_tpu.text.segment_seeker import (
@@ -254,12 +254,11 @@ class BatchScheduler:
         n = len(group)
         bucket = self._bucket(n)
 
-        mels = [
-            pipe._mel(pad_or_trim(w.audio, WINDOW_SAMPLES)) for w in group
-        ]
-        while len(mels) < bucket:  # pad to the bucket with silence
-            mels.append(pipe._mel(np.zeros(WINDOW_SAMPLES, np.float32)))
-        mel_batch = jnp.stack(mels)
+        # one batched mel dispatch for the whole group (+ silent pad rows)
+        audios = [w.audio for w in group] + [
+            np.zeros(WINDOW_SAMPLES, np.float32)
+        ] * (bucket - n)
+        mel_batch = jnp.stack(pipe._mel_many(audios))
 
         # pipe._encode honors the serving config (fused int8 cross-KV)
         _, ck, cv = pipe._encode(mel_batch, options)
@@ -324,6 +323,8 @@ class BatchScheduler:
             w.future.set_exception(e)
 
     def _finish_long(self, job: _LongJob) -> None:
+        if job.future.done():  # an earlier window's batch already failed it
+            return
         try:
             all_segments: list[TranscriptionSegment] = []
             for i, (seek_offset, window_frames) in enumerate(job.metas):

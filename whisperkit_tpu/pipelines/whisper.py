@@ -252,6 +252,22 @@ class WhisperPipeline:
     def _mel(self, window: np.ndarray) -> jnp.ndarray:
         return log_mel_spectrogram(jnp.asarray(window), n_mels=self.dims.n_mels)
 
+    def _mel_many(self, windows: list) -> list:
+        """Mel for N ≤30 s windows in batched dispatches of ≤32 (ONE device
+        round trip per sub-batch instead of one per window). Returns a list
+        of per-window [n_mels, 3000] device arrays."""
+        out: list = []
+        for start in range(0, len(windows), 32):
+            part = windows[start : start + 32]
+            stacked = np.stack(
+                [pad_or_trim(np.asarray(w, np.float32), WINDOW_SAMPLES) for w in part]
+            )
+            batch = log_mel_spectrogram(
+                jnp.asarray(stacked), n_mels=self.dims.n_mels
+            )
+            out.extend(batch[i] for i in range(len(part)))
+        return out
+
     def _mesh(self):
         """Data-parallel mesh over all visible devices (SURVEY.md §2.6: the
         chunk batch shards over ICI; params replicate). Built lazily; None
@@ -489,9 +505,11 @@ class WhisperPipeline:
                         self.params, cross_k, cross_v, prompt_arr, suppress,
                         scalars, **decode_kwargs,
                     )
-            tokens_np = np.asarray(out.tokens)
-            lps_np = np.asarray(out.token_logprobs)
-            nsp_np = np.asarray(out.no_speech_prob)
+            # ONE host transfer for the rung's outputs (three separate
+            # np.asarray pulls pay the tunnel RTT each)
+            tokens_np, lps_np, nsp_np = jax.device_get(
+                (out.tokens, out.token_logprobs, out.no_speech_prob)
+            )
             if capture and not use_beam:
                 align_np = np.asarray(out.alignment)
             elif capture and use_beam:
@@ -676,8 +694,7 @@ class WhisperPipeline:
     ) -> list:
         """Decode N ≤30 s clips as one batch."""
         t0 = time.perf_counter()
-        mels = [self._mel(pad_or_trim(a, WINDOW_SAMPLES)) for a in audios]
-        mel_batch = jnp.stack(mels)
+        mel_batch = jnp.stack(self._mel_many(audios))
         _, ck, cv = self._encode(mel_batch, options)
         self._detected_language = None
         language = self._resolve_language(options, ck, cv)
@@ -733,13 +750,19 @@ class WhisperPipeline:
             for c in chunker.chunk_all(region, max_chunk_length=WINDOW_SAMPLES):
                 c.seek_offset_index += clip_start_f * 160
                 chunks.append(c)
-        mels = []
-        metas = []
-        for c in chunks:
-            seg = c.audio_samples
-            window_frames = min(WINDOW_FRAMES, math.ceil(len(seg) / 160))
-            mels.append(self._mel(pad_or_trim(seg, WINDOW_SAMPLES)))
-            metas.append((c.seek_offset_index, window_frames))
+        # One BATCHED mel dispatch per ≤32 chunks instead of one per chunk:
+        # under a degraded tunnel each eager dispatch pays the full RTT, and
+        # a 12-min file is 24-32 chunks — measured r4, per-chunk mels
+        # dominated the pipeline when the relay RTT spiked. Sub-batches cap
+        # the [B,3000,400] framing transient.
+        mels = self._mel_many([c.audio_samples for c in chunks])
+        metas = [
+            (
+                c.seek_offset_index,
+                min(WINDOW_FRAMES, math.ceil(len(c.audio_samples) / 160)),
+            )
+            for c in chunks
+        ]
         self.timings.total_log_mel_runs += len(mels)
 
         plan = self._mesh()
