@@ -43,3 +43,18 @@ def jfk_audio(resources):
     from whisperkit_tpu.audio.io import load_audio
 
     return load_audio(resources / "jfk.wav")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound accumulated XLA CPU state: with ~260 tests in one process the
+    suite deterministically segfaulted inside LLVM during a late fresh
+    compile (r4; crash in backend_compile_and_load with >250 live compiled
+    programs, independent of which modules ran — any ~100-test subset
+    passes). Dropping compiled-program caches at module teardown keeps the
+    live-executable count bounded; the persistent on-disk cache makes the
+    recompiles cheap."""
+    yield
+    import jax
+
+    jax.clear_caches()

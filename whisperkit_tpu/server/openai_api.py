@@ -280,6 +280,14 @@ def create_app(
     app.router.add_get("/health", health)
     app.router.add_post("/v1/audio/transcriptions", transcriptions)
     app.router.add_post("/v1/audio/translations", translations)
+    if scheduler is not None:
+        # stop the collector thread with the app — a leaked daemon thread
+        # outliving the server keeps pipeline references alive and can race
+        # interpreter teardown
+        async def _stop_scheduler(_app):
+            scheduler.shutdown()
+
+        app.on_cleanup.append(_stop_scheduler)
     return app
 
 
