@@ -131,6 +131,36 @@ def test_speculative_eot_stop(setup):
     np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
 
 
+def test_speculative_with_serving_preset(setup):
+    """Speculative + int8 cross-KV serving preset compose: the target
+    verifies against its quantized cross-KV, the draft stays bf16 —
+    output must equal the serving pipeline without a draft."""
+    from whisperkit_tpu.core.configurations import (
+        ComputeOptions,
+        DecodingOptions,
+        WhisperConfig,
+    )
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    target, draft, sp, _, _ = setup
+    rng = np.random.default_rng(9)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    opts = DecodingOptions(
+        language="en", sample_length=10, temperature_fallback_count=0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, first_token_log_prob_threshold=None,
+    )
+    cfg = WhisperConfig(compute_options=ComputeOptions.serving())
+    plain = WhisperPipeline(cfg, dims=DIMS, params=target).transcribe(audio, opts)
+    spec = WhisperPipeline(
+        cfg, dims=DIMS, params=target,
+        draft_dims=DRAFT_DIMS, draft_params=draft,
+    ).transcribe(audio, opts)
+    assert [s.tokens for s in spec.segments] == [
+        s.tokens for s in plain.segments
+    ]
+
+
 def test_speculative_pipeline_integration(setup):
     """WhisperPipeline(draft_dims/draft_params): batch-1 greedy decodes
     route through the speculative loop and produce the same transcription
