@@ -322,7 +322,7 @@ def test_short_clip_matches_hf_multilingual(real_layout_pair, fixture):
 
     mel = np.asarray(
         log_mel_spectrogram(
-            jnp.asarray(pad_or_trim(audio, 480_000)), n_mels=80
+            jnp.asarray(pad_or_trim(audio)), n_mels=80
         )
     )
     # "zh" stands in for es — the random model has no language semantics,

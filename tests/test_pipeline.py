@@ -169,6 +169,65 @@ def test_vad_callback_surfaces_every_window(pipe):
         assert isinstance(p.text, str)
 
 
+def test_windows_hear_the_audio(pipe):
+    """Regression for the r4 pad_or_trim positional-arg bug: a positional
+    length parsed as `start` and every ≤30 s window path fed pure-SILENCE
+    mels to the model — undetectable by structural random-weight tests.
+    Every decode path must produce different output for noise vs silence,
+    and the mel must actually contain the window's audio."""
+    rng = np.random.default_rng(23)
+    noise5 = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+    silence5 = np.zeros(16000 * 5, np.float32)
+    opts = DecodingOptions(
+        sample_length=8, language="en", temperature_fallback_count=0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, first_token_log_prob_threshold=None,
+    )
+
+    def tokens(res):
+        return [s.tokens for s in res.segments]
+
+    # single-window seek path
+    assert tokens(pipe.transcribe(noise5, opts)) != tokens(
+        pipe.transcribe(silence5, opts)
+    )
+    # short-batch path
+    b_noise, b_sil = pipe.transcribe([noise5, silence5], opts)
+    assert tokens(b_noise) != tokens(b_sil)
+    # VAD path (65 s; silence VAD still hard-cuts windows)
+    noise65 = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    import dataclasses
+
+    vad_opts = dataclasses.replace(opts, chunking_strategy="vad")
+    r_noise = pipe.transcribe(noise65, vad_opts)
+    r_sil = pipe.transcribe(np.zeros(16000 * 65, np.float32), vad_opts)
+    assert tokens(r_noise) != tokens(r_sil)
+    # language-detection path sees content
+    _, p_noise = pipe.detect_language(noise5)
+    _, p_sil = pipe.detect_language(silence5)
+    assert p_noise != p_sil
+    # and the mel itself carries signal (not the silence floor)
+    mel = np.asarray(pipe._mel_many([noise5])[0])
+    assert mel.std() > 0.05 and mel.max() > -1.0
+
+
+def test_mel_windows_from_audio_matches_mel_many(pipe):
+    """The single-upload on-device window extraction must produce the same
+    mels as uploading each padded chunk (pad_or_trim semantics)."""
+    from whisperkit_tpu.audio.chunker import VADAudioChunker
+
+    rng = np.random.default_rng(17)
+    audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    chunks = VADAudioChunker().chunk_all(audio, max_chunk_length=480_000)
+    assert len(chunks) >= 2
+    fused = pipe._mel_windows_from_audio(audio, chunks)
+    ref = pipe._mel_many([c.audio_samples for c in chunks])
+    for a, b in zip(fused, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
+
+
 def test_window_pre_post_process_hooks(pipe):
     """Subclass seam for per-window side work / segment replacement
     (reference: TranscribeTask.swift:42-55 windowPreprocess/PostProcess)."""

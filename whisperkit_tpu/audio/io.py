@@ -212,11 +212,16 @@ def resample_audio(x: np.ndarray, from_rate: int, to_rate: int) -> np.ndarray:
 
 
 def pad_or_trim(
-    x: np.ndarray, start: int = 0, length: int = WINDOW_SAMPLES
+    x: np.ndarray, *, start: int = 0, length: int = WINDOW_SAMPLES
 ) -> np.ndarray:
     """Slice [start, start+length) zero-padded to exactly `length` samples.
 
-    Reference: AudioProcessor.swift:151-174 `padOrTrimAudio`.
+    Reference: AudioProcessor.swift:151-174 `padOrTrimAudio`. `start` is
+    keyword-only: a positional `pad_or_trim(x, WINDOW_SAMPLES)` used to
+    parse as start=WINDOW_SAMPLES and silently return pure silence — that
+    exact misuse fed SILENCE mels to every ≤30 s window path from r2 until
+    it was caught in r4 (nothing asserts mel content under random weights;
+    see tests/test_pipeline.py::test_windows_hear_the_audio).
     """
     seg = x[start : start + length]
     if seg.shape[0] < length:

@@ -260,12 +260,42 @@ class WhisperPipeline:
         for start in range(0, len(windows), 32):
             part = windows[start : start + 32]
             stacked = np.stack(
-                [pad_or_trim(np.asarray(w, np.float32), WINDOW_SAMPLES) for w in part]
+                [pad_or_trim(np.asarray(w, np.float32)) for w in part]
             )
             batch = log_mel_spectrogram(
                 jnp.asarray(stacked), n_mels=self.dims.n_mels
             )
             out.extend(batch[i] for i in range(len(part)))
+        return out
+
+    def _mel_windows_from_audio(
+        self, audio: np.ndarray, chunks: list
+    ) -> list:
+        """Mels for contiguous-slice chunks of ONE audio array, uploading
+        the audio ONCE: windows are extracted on-device (dynamic_slice +
+        zero-mask past each chunk's length — identical to pad_or_trim
+        semantics). The transport tunnel intermittently stalls large
+        transfers (r4: a 29 MB upload once took 310 s), so one ~len(audio)
+        upload beats re-uploading ~2.2× the bytes as padded windows."""
+        padded = np.zeros(len(audio) + WINDOW_SAMPLES, np.float32)
+        padded[: len(audio)] = audio
+        audio_dev = jnp.asarray(padded)  # the single upload
+        starts = [c.seek_offset_index for c in chunks]
+        lengths = [min(len(c.audio_samples), WINDOW_SAMPLES) for c in chunks]
+        out: list = []
+        for i in range(0, len(chunks), 32):
+            s = jnp.asarray(starts[i : i + 32], jnp.int32)
+            n = jnp.asarray(lengths[i : i + 32], jnp.int32)
+            wins = jax.vmap(
+                lambda st: jax.lax.dynamic_slice(
+                    audio_dev, (st,), (WINDOW_SAMPLES,)
+                )
+            )(s)
+            wins = jnp.where(
+                jnp.arange(WINDOW_SAMPLES)[None, :] < n[:, None], wins, 0.0
+            )
+            batch = log_mel_spectrogram(wins, n_mels=self.dims.n_mels)
+            out.extend(batch[j] for j in range(len(s)))
         return out
 
     def _mesh(self):
@@ -304,7 +334,7 @@ class WhisperPipeline:
         """Reference: WhisperKit.swift:534-581 `detectLangauge` [sic]."""
         if isinstance(audio, (str, Path)):
             audio = load_audio(audio)
-        window = pad_or_trim(np.asarray(audio, np.float32)[:WINDOW_SAMPLES], WINDOW_SAMPLES)
+        window = pad_or_trim(np.asarray(audio, np.float32))
         mel = self._mel(window)[None]
         _, ck, cv = encode_window(self.params, mel, self.dims)
         probs = np.asarray(
@@ -750,12 +780,12 @@ class WhisperPipeline:
             for c in chunker.chunk_all(region, max_chunk_length=WINDOW_SAMPLES):
                 c.seek_offset_index += clip_start_f * 160
                 chunks.append(c)
-        # One BATCHED mel dispatch per ≤32 chunks instead of one per chunk:
-        # under a degraded tunnel each eager dispatch pays the full RTT, and
-        # a 12-min file is 24-32 chunks — measured r4, per-chunk mels
-        # dominated the pipeline when the relay RTT spiked. Sub-batches cap
-        # the [B,3000,400] framing transient.
-        mels = self._mel_many([c.audio_samples for c in chunks])
+        # One audio upload + batched on-device window extraction + one mel
+        # dispatch per ≤32 chunks (instead of one upload+dispatch per
+        # chunk): under a degraded tunnel every transfer/dispatch pays the
+        # full RTT and large transfers can stall outright (r4 measurements
+        # in _mel_windows_from_audio).
+        mels = self._mel_windows_from_audio(audio, chunks)
         metas = [
             (
                 c.seek_offset_index,
@@ -974,7 +1004,7 @@ class WhisperPipeline:
                 else:
                     window = audio[seek * 160 : seek * 160 + WINDOW_SAMPLES]
                     t_mel = time.perf_counter()
-                    mel = self._mel(pad_or_trim(window, WINDOW_SAMPLES))[None]
+                    mel = self._mel(pad_or_trim(window))[None]
                     self.timings.log_mels += time.perf_counter() - t_mel
                     self.timings.total_log_mel_runs += 1
                 t_enc = time.perf_counter()
