@@ -189,6 +189,30 @@ def test_diarize_pipeline_end_to_end():
     assert rttm == "" or rttm.startswith("SPEAKER")
 
 
+def test_diarizer_hears_the_audio():
+    """Content-sensitivity guard (sibling of test_windows_hear_the_audio
+    after the r4 silent-mel bug): the segmenter's activity output must
+    differ between noise and silence — no windowing helper may silently
+    feed the model empty audio."""
+    jax = pytest.importorskip("jax")
+    import jax.numpy as jnp
+
+    from whisperkit_tpu.models.pyannote import (
+        SegmenterDims,
+        init_segmenter,
+        segmenter_forward,
+    )
+
+    dims = SegmenterDims(conv_channels=8, lstm_hidden=8)
+    params = init_segmenter(jax.random.PRNGKey(0), dims)
+    rng = np.random.default_rng(3)
+    noise = (rng.standard_normal((1, 480_000)) * 0.3).astype(np.float32)
+    silence = np.zeros((1, 480_000), np.float32)
+    a = segmenter_forward(params, jnp.asarray(noise), dims)["speaker_activity"]
+    b = segmenter_forward(params, jnp.asarray(silence), dims)["speaker_activity"]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
 def test_kmeans_empty_cluster_repair():
     """k larger than the natural cluster count must not yield NaN centroids
     or phantom assignments."""
