@@ -265,8 +265,14 @@ def main() -> None:
     micro_rtf = (time.perf_counter() - t0) / n_iter / (batch * 30.0)
 
     baseline_rtf = 0.01  # BASELINE.md north-star target
+    rtts_end = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(probe(jnp.ones((8, 8))))
+        rtts_end.append(time.perf_counter() - t0)
     secondary = {
         "tunnel_dispatch_ms": tunnel_dispatch_ms,
+        "tunnel_dispatch_ms_end": round(float(np.median(rtts_end)) * 1e3, 1),
         "headline_runs": [round(r, 5) for r in headline_runs],
         f"micro_rtf_32tok_b{batch}": round(micro_rtf, 5),
         "segments": n_segments,
