@@ -108,6 +108,67 @@ def test_scheduler_long_windows_batch_with_short_requests(pipe):
     ]
 
 
+def test_scheduler_mixed_language_batch(pipe, monkeypatch):
+    """Jobs with UNSET language sharing one batch each detect and decode in
+    their OWN language (per-row prompts in one static-shape decode) — one
+    job's detection must not leak into another's (reference: each
+    transcription detects independently, TextDecoder.swift:420)."""
+    rng = np.random.default_rng(5)
+    a1 = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    a2 = a1.copy()  # SAME audio: rows differ ONLY by per-row language
+    # deterministic greedy (no ladder): batched rows must equal solo decodes
+    det = dict(
+        sample_length=6, temperature_fallback_count=0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, first_token_log_prob_threshold=None,
+    )
+    # pin per-row detection to the tiny model's two languages (random-init
+    # weights make real detection arbitrary; the mechanics under test are
+    # the per-row threading, not langid quality)
+    calls = []
+
+    def fake_detect(self, ck, cv, n_rows=None):
+        calls.append(n_rows)
+        return ["en", "zh"][:n_rows]
+
+    monkeypatch.setattr(
+        WhisperPipeline, "_detect_languages_per_row", fake_detect
+    )
+    built = []
+    orig_build = WhisperPipeline._build_prompt
+
+    def spy_build(self, options, language):
+        prompt = orig_build(self, options, language)
+        built.append((language, tuple(prompt[0])))
+        return prompt
+
+    monkeypatch.setattr(WhisperPipeline, "_build_prompt", spy_build)
+
+    sched = BatchScheduler(pipe, max_batch=8, max_wait_ms=300.0)
+    f1 = sched.submit(a1, DecodingOptions(**det))
+    f2 = sched.submit(a2, DecodingOptions(**det))
+    r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+    assert sched.batches_run == 1  # one mixed batch
+    assert calls == [2]  # one per-row detection for the group
+    assert (r1.language, r2.language) == ("en", "zh")
+    # the ONE batched decode built per-row prompts whose language TOKENS
+    # differ (direct proof the detection didn't collapse to one language)
+    by_lang = dict(built)
+    assert {"en", "zh"} <= set(by_lang)
+    assert by_lang["en"] != by_lang["zh"]
+    assert len(by_lang["en"]) == len(by_lang["zh"])  # one static shape
+    sched.shutdown()
+
+    # each row must equal the SOLO decode under its own language — proof the
+    # per-row prompt carried the right language token into the shared batch
+    solo1 = pipe.transcribe(a1, DecodingOptions(language="en", **{
+        k: v for k, v in det.items()}))
+    solo2 = pipe.transcribe(a2, DecodingOptions(language="zh", **{
+        k: v for k, v in det.items()}))
+    assert [s.tokens for s in r1.segments] == [s.tokens for s in solo1.segments]
+    assert [s.tokens for s in r2.segments] == [s.tokens for s in solo2.segments]
+
+
 def test_scheduler_transcribe_sync_api(pipe):
     sched = BatchScheduler(pipe, max_batch=4, max_wait_ms=20.0)
     rng = np.random.default_rng(3)

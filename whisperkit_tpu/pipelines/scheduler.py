@@ -262,16 +262,30 @@ class BatchScheduler:
 
         # pipe._encode honors the serving config (fused int8 cross-KV)
         _, ck, cv = pipe._encode(mel_batch, options)
-        language = pipe._resolve_language(options, ck, cv, n)
-        decodes = pipe._decode_with_fallback(ck, cv, options, language, 0)[:n]
+        if not options.language and pipe.is_multilingual:
+            # rows belong to DIFFERENT requests: each job detects its own
+            # language (per-row argmax), and per-row prompts carry it into
+            # ONE shared batched decode — never average detection across
+            # unrelated jobs, and never cache one job's language on the
+            # pipeline for the next (reference: each transcription detects
+            # independently, TextDecoder.swift:420)
+            langs = pipe._detect_languages_per_row(ck, cv, n)
+        else:
+            langs = [pipe._resolve_language(options, ck, cv, n)] * n
+        pad_langs = [langs[0]] * (bucket - n)  # pad rows are discarded
+        decodes = pipe._decode_with_fallback(
+            ck, cv, options, langs + pad_langs, 0
+        )[:n]
 
-        for w, wd in zip(group, decodes):
+        for w, wd, language in zip(group, decodes, langs):
             if w.parent is None:
                 self._finish_short(w, wd, language)
                 self.jobs_run += 1
             else:
                 w.parent.decodes[w.index] = wd
-                if w.parent.language is None:
+                # the job's reported language is its FIRST window's (windows
+                # of one job can land in different batches in any order)
+                if w.index == 0 or w.parent.language is None:
                     w.parent.language = language
                 if w.parent.complete:
                     self._finish_long(w.parent)

@@ -391,6 +391,21 @@ class WhisperPipeline:
         )[: (n_rows or None)].mean(axis=0)
         return LANGUAGES[int(np.argmax(probs))][0]
 
+    def _detect_languages_per_row(self, ck, cv, n_rows=None) -> list[str]:
+        """Per-ROW language detection over an encoded batch: one masked
+        decode step, argmax per row (no cross-row averaging). Used by the
+        continuous-batching scheduler, where the rows of one batch belong
+        to DIFFERENT requests (reference semantics: each transcription job
+        detects its own language, TextDecoder.swift:420 — the batch is a
+        TPU-side packing detail that must not leak across jobs)."""
+        probs = np.asarray(
+            detect_language_logits(
+                self.params, ck, cv, dims=self.dims,
+                special=self.tokenizer.special,
+            )
+        )[: (n_rows or None)]
+        return [LANGUAGES[int(i)][0] for i in np.argmax(probs, axis=-1)]
+
     # -- decode with fallback -----------------------------------------------
 
     def _decode_with_fallback(
@@ -398,7 +413,7 @@ class WhisperPipeline:
         cross_k,
         cross_v,
         options: DecodingOptions,
-        language: str,
+        language,
         window_index: int,
     ) -> list[_WindowDecode]:
         """Temperature ladder over a batch of encoded windows.
@@ -406,6 +421,12 @@ class WhisperPipeline:
         Reference: TranscribeTask.swift:316-411 `decodeWithFallback`. Failed
         rows are re-decoded at the next temperature; accepted rows keep their
         first passing result.
+
+        `language` is one code for the whole batch, or a per-row sequence
+        (len == batch): the prompt layout is language-invariant — only the
+        language TOKEN differs — so rows with different languages share one
+        static-shape batched decode (continuous-batching scheduler packs
+        windows of unrelated requests into one batch).
         """
         sp = self.tokenizer.special
         # int8 cross-KV arrives as a {"q8","scale"} dict (fused in _encode)
@@ -414,8 +435,14 @@ class WhisperPipeline:
             if isinstance(cross_k, dict)
             else cross_k.shape[1]
         )
-        prompt, sot_index = self._build_prompt(options, language)
-        prompt_arr = jnp.asarray([prompt] * b, jnp.int32)
+        langs = [language] * b if isinstance(language, str) else list(language)
+        if len(langs) != b:
+            raise ValueError(
+                f"per-row languages: got {len(langs)} for batch of {b}"
+            )
+        prompts = [self._build_prompt(options, lg) for lg in langs]
+        prompt, sot_index = prompts[0]
+        prompt_arr = jnp.asarray([p for p, _ in prompts], jnp.int32)
         suppress = self._suppress_bias(options)
         max_new = min(options.sample_length, MAX_TOKEN_CONTEXT - len(prompt))
         capture = options.word_timestamps and self.alignment_heads is not None
@@ -597,7 +624,7 @@ class WhisperPipeline:
                         compression_ratio=cr,
                         no_speech_prob=float(nsp_np[i]),
                         temperature=temperature,
-                        language=language,
+                        language=langs[i],
                         alignment=(
                             align_np[: len(prompt) + n + 1, i]
                             if align_np is not None
