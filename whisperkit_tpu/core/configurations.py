@@ -118,6 +118,9 @@ class ComputeOptions:
     mesh_axes: tuple[str, ...] = ("dp", "tp")
     dp_size: Optional[int] = None  # None = infer from devices
     tp_size: int = 1
+    dcn_size: int = 1  # multi-slice deployments: outer mesh axis over
+    # data-center network. Batches shard dcn-major (slice-local dp/tp;
+    # parallel/mesh.py `dcn_shard` proves no collective rides DCN)
 
     @classmethod
     def serving(cls, **overrides) -> "ComputeOptions":

@@ -305,14 +305,16 @@ class WhisperPipeline:
         if self._mesh_plan is None:
             co = self.config.compute_options
             n = len(jax.devices())
-            dp = co.dp_size or (n // co.tp_size)
-            if dp * co.tp_size <= 1:
+            dp = co.dp_size or (n // (co.tp_size * co.dcn_size))
+            if dp * co.tp_size * co.dcn_size <= 1:
                 self._mesh_plan = False
             else:
                 from whisperkit_tpu.parallel.mesh import make_mesh
                 from whisperkit_tpu.parallel.sharding import shard_whisper_params
 
-                self._mesh_plan = make_mesh(dp=dp, tp=co.tp_size)
+                self._mesh_plan = make_mesh(
+                    dp=dp, tp=co.tp_size, dcn=co.dcn_size
+                )
                 try:
                     # tp>1: Megatron-split the weights (bf16 AND w_q/scale
                     # W8A16 trees share the rules); tp=1: replicate
