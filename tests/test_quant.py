@@ -148,6 +148,43 @@ def test_tts_multicode_quantized_heads_match_greedy():
     assert ((np.asarray(b_codes) >= 0) & (np.asarray(b_codes) < 2048)).all()
 
 
+def test_tts_code_predictor_unroll_matches_scan():
+    """The W8A16 T==1 layer-unroll (qwen3_tts._qwen3_layers unroll_t1) must be
+    numerically equivalent to the scan path — same math, different schedule."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from whisperkit_tpu.models.qwen3_tts import (
+        TINY_TTS_DIMS,
+        code_predictor_forward,
+        init_tts_params,
+    )
+    from whisperkit_tpu.ops.quant import quantize_tts_params
+
+    d = TINY_TTS_DIMS
+    params = init_tts_params(jax.random.PRNGKey(0), d, dtype=jnp.float32)
+    qparams = quantize_tts_params(params, min_size=1)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 1, d.d_model)) * 0.1
+    kv = lambda: (  # noqa: E731
+        jnp.zeros((d.cp_layer, 2, d.cp_kv_head, 8, d.cp_head_dim), jnp.float32),
+        jnp.zeros((d.cp_layer, 2, d.cp_kv_head, 8, d.cp_head_dim), jnp.float32),
+    )
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["WKTPU_TTS_UNROLL_T1"] = flag
+        try:
+            h, (kk, vv) = code_predictor_forward(
+                qparams["mc"], x, 3, *kv(), d
+            )
+            outs[flag] = (np.asarray(h), np.asarray(kk), np.asarray(vv))
+        finally:
+            del os.environ["WKTPU_TTS_UNROLL_T1"]
+    for a, b in zip(outs["0"], outs["1"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_cross_attend_int8_matches_bf16():
     """int8 cross-attention (serving mode) must track the bf16 path within
     int8 tolerance on controlled inputs."""

@@ -328,6 +328,18 @@ def encoder_v12(params, mel, dims):
     return layer_norm(x, enc["ln_post"])
 
 
+def _attend_onepass_768(q, k, v):
+    from whisperkit_tpu.ops.attention import mha_encoder_pallas
+
+    return mha_encoder_pallas(q, k, v, block_q=768)
+
+
+def _attend_onepass_512(q, k, v):
+    from whisperkit_tpu.ops.attention import mha_encoder_pallas
+
+    return mha_encoder_pallas(q, k, v, block_q=512)
+
+
 def _attend_splash(q, k, v):
     """Splash-attention kernel (the maintained TPU pallas MHA), 1536-padded
     with segment-id masking of pad positions."""
@@ -400,6 +412,10 @@ def main():
         # r3 levers: conv2-as-matmul on the production path; splash MHA
         "v12": (lambda p, m: encoder_v12(p, m, DIMS), params),
         "v13": (lambda p, m: _make_encoder(_attend_splash, False)(p, m, DIMS), params),
+        # r5: one-pass full-K-resident Pallas MHA (ops/attention.py) — no
+        # online-softmax rescaling, no probs materialization
+        "v14": (lambda p, m: _make_encoder(_attend_onepass_768, False)(p, m, DIMS), params),
+        "v15": (lambda p, m: _make_encoder(_attend_onepass_512, False)(p, m, DIMS), params),
     }
     print(f"b={B} {DIMS.n_audio_layer}L d{DIMS.n_audio_state}  FLOPs/window batch: {FLOPS/1e12:.1f} TF", flush=True)
     for name in args.variants.split(","):

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -408,6 +409,7 @@ def _qwen3_layers(
     qk_norm: bool,
     layer_scale: bool,
     rms_eps: float = 1e-6,
+    unroll_t1: bool = False,
 ):
     """Shared Qwen3-family layer scan: RMSNorm -> GQA(+RoPE, optional
     per-head q/k norms) -> SwiGLU, with optional LayerScale residuals and a
@@ -415,6 +417,65 @@ def _qwen3_layers(
     code predictor, and the Code2Wav pre-transformer."""
     b, t, _ = x.shape
     h, kvh, dh = n_head, n_kv_head, head_dim
+
+    if t == 1 and unroll_t1:
+        # Single-token step, OPT-IN (quantized code predictor only):
+        # unroll the layer loop and write each layer's new K/V directly
+        # into the stacked cache at (layer, :, :, pos, :). Unrolling lets
+        # XLA fuse the W8A16 dequant into each matmul's operand read
+        # (int8-only weight traffic), measured −26% per multicode frame
+        # (4.06 → 3.00 ms, tools/probe_tts_dequant.py). It is NOT a
+        # general win here, unlike the Whisper decoder's unrolled path:
+        # bf16 weights get slice-copied per layer (multicode 5.05 → 7.30
+        # ms/frame) and the 28-layer backbone regresses ~2 ms/frame even
+        # at W8A16 (end-to-end ablation, docs/BENCHMARKS.md), so the
+        # backbone and all bf16 callers keep the layer scan.
+        L = kv_k.shape[0]
+        for li in range(L):
+            bp = jax.tree.map(lambda a: a[li], blocks)
+            hthin = rms_norm(x, bp["ln1"], rms_eps)
+            q = _mm(hthin, bp["wq"]).reshape(b, t, h, dh)
+            k = _mm(hthin, bp["wk"]).reshape(b, t, kvh, dh)
+            v = _mm(hthin, bp["wv"]).reshape(b, t, kvh, dh)
+            if qk_norm:
+                q = rms_norm(q, bp["qnorm"], rms_eps)
+                k = rms_norm(k, bp["knorm"], rms_eps)
+            q = _rope(q, positions, rope_theta)
+            k = _rope(k, positions, rope_theta)
+            kv_k = jax.lax.dynamic_update_slice(
+                kv_k,
+                k.transpose(0, 2, 1, 3)[None].astype(kv_k.dtype),
+                (li, 0, 0, pos_offset, 0),
+            )
+            kv_v = jax.lax.dynamic_update_slice(
+                kv_v,
+                v.transpose(0, 2, 1, 3)[None].astype(kv_v.dtype),
+                (li, 0, 0, pos_offset, 0),
+            )
+            rep = h // kvh
+            kfull = jnp.repeat(kv_k[li], rep, axis=1)  # [B, H, S, Dh]
+            vfull = jnp.repeat(kv_v[li], rep, axis=1)
+            qh = q.transpose(0, 2, 1, 3)  # [B, H, T, Dh]
+            scores = jnp.einsum(
+                "bhtd,bhsd->bhts", qh, kfull,
+                preferred_element_type=jnp.float32,
+            ) / np.sqrt(dh)
+            probs = jax.nn.softmax(scores + mask, axis=-1).astype(vfull.dtype)
+            out = jnp.einsum("bhts,bhsd->bhtd", probs, vfull)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+            attn = _mm(out, bp["wo"])
+            if layer_scale:
+                attn = attn * bp["attn_scale"].astype(attn.dtype)
+            x = x + attn
+            hthin = rms_norm(x, bp["ln2"], rms_eps)
+            mlp = _mm(
+                jax.nn.silu(_mm(hthin, bp["w_gate"])) * _mm(hthin, bp["w_up"]),
+                bp["w_down"],
+            )
+            if layer_scale:
+                mlp = mlp * bp["mlp_scale"].astype(mlp.dtype)
+            x = x + mlp
+        return x, (kv_k, kv_v)
 
     def block(x, layer):
         bp, kk, vv = layer
@@ -519,6 +580,15 @@ def code_decoder_forward(
 # ---------------------------------------------------------------------------
 
 
+def _unroll_t1_gate(auto: bool) -> bool:
+    """T==1 layer-unroll gate for the code predictor; WKTPU_TTS_UNROLL_T1=0/1
+    forces it off/on (ablation + equivalence tests), unset keeps `auto`."""
+    env = os.environ.get("WKTPU_TTS_UNROLL_T1")
+    if env in ("0", "1"):
+        return env == "1"
+    return auto
+
+
 def code_predictor_forward(
     mc: PyTree,
     embeds: jnp.ndarray,  # [B, T, D]
@@ -539,6 +609,16 @@ def code_predictor_forward(
         n_head=dims.cp_head, n_kv_head=dims.cp_kv_head,
         head_dim=dims.cp_head_dim, rope_theta=dims.cp_rope_theta,
         qk_norm=True, layer_scale=False,
+        # W8A16 micro-steps unroll (dequant fuses into each matmul read):
+        # a measured A-B win only at 0.6b width (d1024: 5.14 → 4.21 ms/frame
+        # e2e W8A16; d2048 regresses 8.58 → 10.70 — the per-layer stacked-
+        # weight slices outgrow the fusion win), so the gate is quantized AND
+        # narrow. bf16 always keeps the scan (5.05 → 7.30 regression).
+        # WKTPU_TTS_UNROLL_T1=0/1 overrides (ablation hook,
+        # tools/probe_tts_dequant.py; A-B table in docs/BENCHMARKS.md).
+        unroll_t1=_unroll_t1_gate(
+            isinstance(mc["blocks"]["wq"], dict) and embeds.shape[-1] <= 1024
+        ),
     )
     return rms_norm(x, mc["ln_f"]), kv
 
