@@ -263,16 +263,30 @@ def _conv1d(x, w, b, stride):
     return y + b[None, :, None]
 
 
-def encoder_forward(params: PyTree, mel: jnp.ndarray, dims: WhisperDims) -> jnp.ndarray:
+def encoder_forward(
+    params: PyTree,
+    mel: jnp.ndarray,
+    dims: WhisperDims,
+    seq_sharding=None,
+) -> jnp.ndarray:
     """mel [B, n_mels, 3000] → encoder output [B, 1500, d_audio].
 
     Reference behavior: AudioEncoder.swift:42-63 (conv×2 + transformer + LN).
+
+    seq_sharding: optional NamedSharding for the [B, T, D] activations —
+    sequence parallelism for small-batch latency (`parallel/sharding.py::
+    encoder_seq_sharding`): the 1500-token axis shards over the mesh, LN/
+    MLP compute locally, and GSPMD inserts the per-layer K/V all-gathers
+    the attention einsums need (the "annotate and let XLA insert
+    collectives" recipe — no hand-written collectives). Params replicated.
     """
     enc = params["encoder"]
     x = jax.nn.gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
     x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
     x = x.transpose(0, 2, 1)  # [B, T=1500, D]
     x = x + enc["pos_embed"].astype(x.dtype)
+    if seq_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, seq_sharding)
 
     n_head = dims.n_audio_head
 
@@ -281,6 +295,8 @@ def encoder_forward(params: PyTree, mel: jnp.ndarray, dims: WhisperDims) -> jnp.
         x = x + self_attention(h, bp["attn"], n_head)
         h = layer_norm(x, bp["mlp_ln"])
         x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        if seq_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, seq_sharding)
         return x, None
 
     x, _ = jax.lax.scan(block, x, enc["blocks"])

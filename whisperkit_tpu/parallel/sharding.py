@@ -73,6 +73,21 @@ def whisper_param_shardings(plan: MeshPlan, params) -> dict:
     return shardings
 
 
+def encoder_seq_sharding(plan: MeshPlan) -> NamedSharding:
+    """Sequence-parallel activation sharding for `encoder_forward`.
+
+    Small-batch latency mode (SURVEY.md §2.6 headroom): when the window
+    batch is smaller than the mesh (e.g. a single streaming window), dp
+    cannot use the chips — instead the encoder's 1500-token axis shards
+    over the `tp` axis with REPLICATED params. LN/MLP/projections compute
+    on local sequence shards; GSPMD all-gathers K/V per attention layer
+    (1500×d_audio bf16 ≈ 3.8 MB/layer for large-v3 — ICI-cheap). Distinct
+    from Megatron TP (param shards, `whisper_param_shardings`): sp shards
+    activations, tp shards weights; both ride the same mesh axis.
+    """
+    return _spec(plan, None, "tp", None)
+
+
 def shard_whisper_params(plan: MeshPlan, params):
     """device_put the param tree with TP shardings (replicated when tp=1)."""
     if plan.tp <= 1:
