@@ -20,6 +20,18 @@ from whisperkit_tpu.core.registry import detect_variant, is_model_multilingual
 from whisperkit_tpu.core.timings import TranscriptionTimings
 
 
+def test_umbrella_exports():
+    """Package-root re-exports (reference ArgmaxOSS.swift:4-7)."""
+    import whisperkit_tpu as wk
+
+    assert wk.DecodingOptions is DecodingOptions
+    assert wk.WhisperConfig is WhisperConfig
+    for name in wk.__all__:
+        assert getattr(wk, name) is not None
+    with pytest.raises(AttributeError):
+        wk.not_a_real_export
+
+
 def test_decoding_options_defaults():
     opts = DecodingOptions()
     assert opts.task == DecodingTask.TRANSCRIBE

@@ -1,48 +1,28 @@
-"""whisperkit_tpu — a TPU-native speech framework (speech-to-text, diarization, TTS).
+"""whisperkit_tpu — TPU-native speech SDK (STT + diarization + TTS).
 
-A ground-up JAX/XLA/Pallas rebuild of the capabilities of argmaxinc/WhisperKit
-(reference: Swift/CoreML, see /root/reference). The compute path is pure JAX
-(jit/pjit/shard_map + Pallas kernels); host-side audio decode is native C++
-(FFmpeg) loaded via ctypes.
-
-Top-level API mirrors the reference's pipeline façades:
-  - WhisperPipeline  (reference: Sources/WhisperKit/Core/WhisperKit.swift)
-  - transcribe(), detect_language()
+Umbrella exports mirroring the reference's re-export shim
+(/root/reference/Sources/ArgmaxOSS/ArgmaxOSS.swift:4-7): the three
+pipeline façades plus their primary config types resolve from the package
+root. Lazy (PEP 562) so `import whisperkit_tpu` stays cheap for tools
+that only need a submodule.
 """
 
-__version__ = "0.2.0"
+_EXPORTS = {
+    "WhisperPipeline": "whisperkit_tpu.pipelines.whisper",
+    "DiarizePipeline": "whisperkit_tpu.pipelines.diarize",
+    "TTSPipeline": "whisperkit_tpu.pipelines.tts",
+    "GenerationOptions": "whisperkit_tpu.pipelines.tts",
+    "DecodingOptions": "whisperkit_tpu.core.configurations",
+    "WhisperConfig": "whisperkit_tpu.core.configurations",
+    "ComputeOptions": "whisperkit_tpu.core.configurations",
+}
 
-from whisperkit_tpu.core.configurations import (  # noqa: F401
-    WhisperConfig,
-    DecodingOptions,
-    ChunkingStrategy,
-    DecodingTask,
-)
-from whisperkit_tpu.core.modelstate import ModelState  # noqa: F401
-
-
-def load_pipeline(*args, **kwargs):
-    """Lazy import to keep `import whisperkit_tpu` light."""
-    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
-
-    return WhisperPipeline(*args, **kwargs)
+__all__ = sorted(_EXPORTS)
 
 
-def __getattr__(name):  # lazy public surface (PEP 562)
-    lazy = {
-        "WhisperPipeline": ("whisperkit_tpu.pipelines.whisper", "WhisperPipeline"),
-        "DiarizePipeline": ("whisperkit_tpu.pipelines.diarize", "DiarizePipeline"),
-        "DiarizationOptions": ("whisperkit_tpu.pipelines.diarize", "DiarizationOptions"),
-        "TTSPipeline": ("whisperkit_tpu.pipelines.tts", "TTSPipeline"),
-        "GenerationOptions": ("whisperkit_tpu.pipelines.tts", "GenerationOptions"),
-        "AudioStreamTranscriber": ("whisperkit_tpu.pipelines.streaming", "AudioStreamTranscriber"),
-        "BatchScheduler": ("whisperkit_tpu.pipelines.scheduler", "BatchScheduler"),
-        "TranscriptionResult": ("whisperkit_tpu.core.results", "TranscriptionResult"),
-        "DiarizationResult": ("whisperkit_tpu.speaker.results", "DiarizationResult"),
-    }
-    if name in lazy:
+def __getattr__(name: str):
+    if name in _EXPORTS:
         import importlib
 
-        module, attr = lazy[name]
-        return getattr(importlib.import_module(module), attr)
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
     raise AttributeError(f"module 'whisperkit_tpu' has no attribute {name!r}")
