@@ -182,6 +182,24 @@ def test_decode_loop_deterministic(params, encoded):
     assert (np.asarray(a.tokens) == np.asarray(b.tokens)).all()
 
 
+def test_decode_loop_fuse_qkv_flag_token_exact(params):
+    """The kept `fuse_qkv` ablation flag (measured-rejected on the chip,
+    docs/BENCHMARKS.md r5) must stay token-exact vs the unfused step."""
+    mel = jax.random.normal(jax.random.PRNGKey(3), (2, 80, 3000)) * 0.1
+    _, ck, cv = encode_window(params, mel, DIMS)
+    prompt = jnp.asarray([[SP.sot, SP.transcribe]] * 2, jnp.int32)
+    kwargs = dict(
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=10, top_k=5,
+        sot_index=0, use_timestamp_rules=True, suppress_blank=False,
+    )
+    a = decode_loop(params, ck, cv, prompt, jnp.zeros((V,)), _scalars(), **kwargs)
+    b = decode_loop(
+        params, ck, cv, prompt, jnp.zeros((V,)), _scalars(),
+        ablate=("fuse_qkv",), **kwargs,
+    )
+    assert (np.asarray(a.tokens) == np.asarray(b.tokens)).all()
+
+
 def test_decode_loop_batch_rows_independent(params, encoded):
     """Row 0 of a batch-2 decode must equal a batch-1 decode of the same input."""
     _, ck, cv = encoded

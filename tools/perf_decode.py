@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--long", dest="long_", type=int, default=160)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--int8", action="store_true", help="measure the int8 cross-KV variant too")
+    ap.add_argument(
+        "--serving", action="store_true",
+        help="serving-preset mode: int8 cross-KV ONLY via the fused "
+        "per-layer encode (whole-batch bf16 K/V never materializes — the "
+        "only way large-v3 b=32 fits); measures the int8 ladder",
+    )
     args = ap.parse_args()
 
     import jax
@@ -63,16 +69,25 @@ def main() -> None:
 
     audio = jax.random.normal(jax.random.PRNGKey(1), (batch, 480_000)) * 0.1
     mel = log_mel_spectrogram(audio, n_mels=dims.n_mels)
-    _, ck, cv = encode_window(params, mel, dims)
-    ck, cv = jax.block_until_ready((ck, cv))
-    # int8 copies double the cross-KV residency (OOM at large-v3 b=16);
-    # only materialize them when the variant will run
-    with_int8 = variant == "large-v3-turbo" or args.int8
     ck_q = cv_q = None
-    if with_int8:
-        from whisperkit_tpu.ops.quant import quantize_cross_kv
+    if args.serving:
+        # fused per-layer project+quantize: bf16 whole-batch K/V never
+        # exists (large-v3 b=32 bf16 alone is 7.9 GB — materializing it
+        # here RESOURCE_EXHAUSTs the worker before any measurement)
+        _, ck, cv = encode_window(params, mel, dims, quantize_kv=True)
+        ck, cv = jax.block_until_ready((ck, cv))
+        ck_q, cv_q = ck, cv
+        with_int8 = False
+    else:
+        _, ck, cv = encode_window(params, mel, dims)
+        ck, cv = jax.block_until_ready((ck, cv))
+        # int8 copies double the cross-KV residency (OOM at large-v3
+        # b=16); only materialize them when the variant will run
+        with_int8 = variant == "large-v3-turbo" or args.int8
+        if with_int8:
+            from whisperkit_tpu.ops.quant import quantize_cross_kv
 
-        ck_q, cv_q = jax.block_until_ready(quantize_cross_kv(ck, cv))
+            ck_q, cv_q = jax.block_until_ready(quantize_cross_kv(ck, cv))
     prompt = jnp.asarray([[sp.sot, sp.transcribe]] * batch, jnp.int32)
     # EOT suppressed so every variant runs its full budget (random weights
     # would otherwise stop at data-dependent steps and skew the delta)
@@ -98,6 +113,7 @@ def main() -> None:
 
     variants = [
         ("base", True, ()),
+        ("fuse_qkv", True, ("fuse_qkv",)),  # experiment: 3 self-proj matvecs → 1
         ("rules_off", False, ()),
         ("argmax", True, ("sampler",)),
         ("vocab_small", True, ("vocab",)),
@@ -144,7 +160,10 @@ def main() -> None:
         + (base - results["no_self"]) + results["skeleton"]
     )
     print(f"| TOTAL attributed | {accounted:.3f} | {100 * accounted / base:.0f}% |")
-    print(json.dumps({"batch": batch, "variant": variant, **{k: round(v, 3) for k, v in results.items()}}))
+    print(json.dumps({
+        "batch": batch, "variant": variant, "serving_int8_kv": args.serving,
+        **{k: round(v, 3) for k, v in results.items()},
+    }))
 
 
 if __name__ == "__main__":

@@ -493,16 +493,57 @@ def decoder_forward(
         # outputs every step, which XLA cannot alias in place — measured
         # 1.43 ms/step of pure copy at b=32 turbo (29% of the step,
         # tools/perf_decode.py); the unrolled direct update removes it.
+        # Fused q/k/v projection for the single-token step: 3 matvecs → 1
+        # per layer. The T==1 step is op-overhead-bound (≈450 fused ops ×
+        # ~10 µs ≈ the gap between measured ms/step and the bandwidth
+        # floor, tools/perf_decode.py attribution), so fewer-larger ops
+        # win here even though fused QKV measured SLOWER on the encoder's
+        # T=1500 shapes. The concat is loop-invariant — XLA hoists it out
+        # of the decode while_loop (one ~0.3 GB copy per window group).
+        fuse_qkv = "fuse_qkv" in ablate and "self" not in ablate
+        if fuse_qkv:
+            att = dec["blocks"]["attn"]
+            d_model = dims.n_text_state
+            if isinstance(att["q"], dict) and "w_q" in att["q"]:
+                wf_all = {
+                    "w_q": jnp.concatenate(
+                        [att[k]["w_q"] for k in ("q", "k", "v")], axis=-1
+                    ),
+                    "scale": jnp.concatenate(
+                        [att[k]["scale"] for k in ("q", "k", "v")], axis=-1
+                    ),
+                }
+            else:
+                wf_all = {
+                    "w": jnp.concatenate(
+                        [att[k]["w"] for k in ("q", "k", "v")], axis=-1
+                    )
+                }
+            wf_all["b"] = jnp.concatenate(
+                [
+                    att["q"]["b"],
+                    jnp.zeros_like(att["q"]["b"]),  # k has no bias
+                    att["v"]["b"],
+                ],
+                axis=-1,
+            )
         probs_layers = []
         for li in range(dims.n_text_layer):
             bp = jax.tree.map(lambda a: a[li], dec["blocks"])
             ck = jax.tree.map(lambda a: a[li], cross_k)
             cv = jax.tree.map(lambda a: a[li], cross_v)
             h = layer_norm(x, bp["attn_ln"])
-            q = _split_heads(dense(h, bp["attn"]["q"]), n_head)
+            if fuse_qkv:
+                qkv = dense(h, jax.tree.map(lambda a: a[li], wf_all))
+                q = _split_heads(qkv[..., :d_model], n_head)
+                k_new = _split_heads(qkv[..., d_model : 2 * d_model], n_head)
+                v_new = _split_heads(qkv[..., 2 * d_model :], n_head)
+            else:
+                q = _split_heads(dense(h, bp["attn"]["q"]), n_head)
             if "self" not in ablate:
-                k_new = _split_heads(dense(h, bp["attn"]["k"]), n_head)
-                v_new = _split_heads(dense(h, bp["attn"]["v"]), n_head)
+                if not fuse_qkv:
+                    k_new = _split_heads(dense(h, bp["attn"]["k"]), n_head)
+                    v_new = _split_heads(dense(h, bp["attn"]["v"]), n_head)
                 if "kv_update" not in ablate:
                     kv_k = jax.lax.dynamic_update_slice(
                         kv_k, k_new[None].astype(kv_k.dtype), (li, 0, 0, pos_offset, 0)
