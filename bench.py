@@ -136,7 +136,11 @@ def main() -> None:
             dims=dims_v, params=params_v,
         )
         options = pipeline_options(group)
-        pipe.transcribe(audio[: 16_000 * 60], options)  # warmup/compile
+        # warmup/compile on the FULL audio: the chunk-bucket group clamp
+        # means a 60 s warmup only compiles small-group shapes, leaving the
+        # first timed pass to pay the 20-120 s remote b=32 compiles on a
+        # cold cache (r5 review finding)
+        pipe.transcribe(audio, options)
         # two timed passes, best-of (secondaries included): transient
         # tunnel-RTT windows inflate a single host-driven pass by 2×+
         # (r5 observed 0.0211 then 0.0079 within one session) while the

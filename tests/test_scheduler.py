@@ -108,6 +108,45 @@ def test_scheduler_long_windows_batch_with_short_requests(pipe):
     ]
 
 
+def test_scheduler_long_job_single_language(pipe, monkeypatch):
+    """A multi-window job with UNSET language decodes EVERY window in ONE
+    language — the one detected for its lowest-index window (reference:
+    one detection per transcription; only detect_language=True re-detects
+    per window). Per-row detection returning different languages for
+    different windows of the same job must not code-switch the transcript
+    (r5 review finding)."""
+    rng = np.random.default_rng(6)
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    det = dict(
+        chunking_strategy="vad", sample_length=6, temperature_fallback_count=0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, first_token_log_prob_threshold=None,
+    )
+
+    # per-row detection deliberately disagrees across rows: without per-job
+    # consolidation the job's windows would decode in different languages
+    def fake_detect(self, ck, cv, n_rows=None):
+        return (["en", "zh"] * n_rows)[:n_rows]
+
+    monkeypatch.setattr(
+        WhisperPipeline, "_detect_languages_per_row", fake_detect
+    )
+    built = []
+    orig_build = WhisperPipeline._build_prompt
+
+    def spy_build(self, options, language):
+        built.append(language)
+        return orig_build(self, options, language)
+
+    monkeypatch.setattr(WhisperPipeline, "_build_prompt", spy_build)
+
+    sched = BatchScheduler(pipe, max_batch=8, max_wait_ms=300.0)
+    res = sched.submit(long_audio, DecodingOptions(**det)).result(timeout=600)
+    sched.shutdown()
+    assert res.language == "en"  # window 0's detection
+    assert set(built) == {"en"}  # every window decoded with the job language
+
+
 def test_scheduler_mixed_language_batch(pipe, monkeypatch):
     """Jobs with UNSET language sharing one batch each detect and decode in
     their OWN language (per-row prompts in one static-shape decode) — one

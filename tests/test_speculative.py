@@ -186,3 +186,40 @@ def test_speculative_pipeline_integration(setup):
         s.tokens for s in r_plain.segments
     ]
     assert r_spec.text == r_plain.text
+
+
+def test_draft_kv_matches_target_kv(setup):
+    """Draft-KV soundness (r5 review finding): with draft == target, every
+    round fully accepts, pos advances k+1 per round — the regime where the
+    pre-fix loop left a permanent zero hole at slot pos+k-1 of the DRAFT
+    cache (never queried by the target, so outputs stayed lossless, but
+    every later draft proposal attended a zero key and real-world
+    acceptance would silently collapse). The draft cache must now match
+    the target cache at every committed position."""
+    target, _, sp, (ck, cv), _ = setup
+    prompt = jnp.asarray([[sp.sot, sp.transcribe]], jnp.int32)
+    suppress = jnp.zeros((DIMS.n_vocab,), jnp.float32).at[sp.eot].set(-1e9)
+    k = 3
+    out, st = speculative_decode_loop(
+        target, target, ck, cv, ck, cv, prompt, suppress, _scalars(),
+        dims=DIMS, draft_dims=DIMS, special=sp, sample_begin=2,
+        max_new_tokens=3 * (k + 1) + 1,  # >3 full-accept rounds
+        draft_k=k, sot_index=0, use_timestamp_rules=True,
+        suppress_blank=False, return_state=True,
+    )
+    pos = int(np.asarray(out.length).reshape(-1)[0])
+    assert pos >= 2 + 3 * (k + 1)  # full acceptance actually happened
+    kv_t = np.asarray(st.kv_t_k), np.asarray(st.kv_t_v)
+    kv_d = np.asarray(st.kv_d_k), np.asarray(st.kv_d_v)
+    for t_arr, d_arr in zip(kv_t, kv_d):
+        # committed positions (incl. the would-be hole slots) must agree;
+        # f32 params: T=1 draft steps vs T=k+1 verify passes agree ~1e-5
+        np.testing.assert_allclose(
+            d_arr[:, :, :, : pos - 1], t_arr[:, :, :, : pos - 1],
+            rtol=1e-4, atol=1e-4,
+        )
+        # and no committed slot is a zero hole
+        norms = np.linalg.norm(
+            d_arr[:, :, :, : pos - 1].reshape(-1, d_arr.shape[-1]), axis=-1
+        )
+        assert (norms > 1e-6).all()

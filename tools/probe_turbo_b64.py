@@ -33,7 +33,14 @@ def main() -> None:
     from whisperkit_tpu.models.whisper import VARIANT_DIMS, init_params
     from whisperkit_tpu.pipelines.whisper import WhisperPipeline
 
-    audio = synth_speechlike_audio(12 * 60.0)
+    # 24 min: the chunk-bucket group clamp caps groups at the chunk count's
+    # bucket, so 12-min audio (~24-32 chunks) can never form b=64 groups —
+    # the probe needs >=64 real chunks to measure what it claims (r5
+    # review finding; the earlier "b=64 rejected" entry measured pad-row
+    # drag from forcing group 64 onto 12-min audio, a config the clamp now
+    # prevents outright)
+    minutes = 24.0
+    audio = synth_speechlike_audio(minutes * 60.0)
     dims = VARIANT_DIMS["large-v3-turbo"]
     results = {}
     for label, int8_kv, group in (("serving_b64", True, 64), ("bf16_b64", False, 64)):
@@ -48,12 +55,12 @@ def main() -> None:
             compression_ratio_threshold=None, no_speech_threshold=None,
             first_token_log_prob_threshold=None, concurrent_worker_count=group,
         )
-        pipe.transcribe(audio[: 16_000 * 120], options)  # compile
+        pipe.transcribe(audio, options)  # compile at the REAL group shapes
         rtfs = []
         for _ in range(2):
             t0 = time.perf_counter()
             pipe.transcribe(audio, options)
-            rtfs.append(round((time.perf_counter() - t0) / (12 * 60.0), 5))
+            rtfs.append(round((time.perf_counter() - t0) / (minutes * 60.0), 5))
         results[label] = rtfs
         pipe.params = None
         del pipe

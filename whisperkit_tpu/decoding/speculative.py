@@ -24,9 +24,14 @@ normal loop).
 
 KV discipline: both models write their caches at the true token positions
 during draft/verify; entries past the accepted prefix are stale but are
-always overwritten by the next round before any query can attend them
-(queries at position q attend keys <= q, and the next round's writes start
-at the first stale position).
+always overwritten before any query can attend them (queries at position q
+attend keys <= q; within a round each step writes its own position before
+attending it, and across rounds the next round's first write is at
+pos'-1 <= the first stale position). A round's draft phase makes k+1 KV
+writes (positions pos-1 .. pos+k-1): the final write covers the
+full-accept case where pos advances by k+1 — without it, slot pos+k-1
+would be a permanent zero hole in the draft cache
+(tests/test_speculative.py::test_draft_kv_matches_target_kv).
 """
 
 from __future__ import annotations
@@ -75,6 +80,7 @@ class _SpecState(NamedTuple):
         "sot_index",
         "use_timestamp_rules",
         "suppress_blank",
+        "return_state",
     ),
 )
 def speculative_decode_loop(
@@ -99,6 +105,7 @@ def speculative_decode_loop(
     suppress_blank: bool = False,
     prefill: PrefillState | None = None,
     draft_prefill: PrefillState | None = None,
+    return_state: bool = False,  # testing: also return the final _SpecState
 ) -> DecodeLoopOutput:
     """Greedy decode, bit-identical to `decode_loop(temperature=0)`."""
     b, p = prompt.shape
@@ -186,6 +193,16 @@ def speculative_decode_loop(
             drafts.append(d_i)
             x = d_i
         draft_vec = jnp.stack(drafts, axis=1)  # [1, k]
+        # write d_{k-1}'s K/V at pos+k-1 (logits discarded): a full-accept
+        # round advances pos by k+1, so the NEXT round's writes start at
+        # pos+k — without this, slot pos+k-1 would never be written and
+        # every later draft query would attend a zero key, silently
+        # degrading acceptance in exactly the high-α regime (r5 review
+        # finding; soundness pinned by test_draft_kv_matches_target_kv)
+        _, (kv_d_k, kv_d_v), _ = decoder_forward(
+            draft_params, x[:, None], off + k, kv_d_k, kv_d_v,
+            draft_cross_k, draft_cross_v, draft_dims,
+        )
 
         # ---- verify phase: one T=k+1 target pass ---------------------------
         verify_in = jnp.concatenate([st.last_token[:, None], draft_vec], axis=1)
@@ -238,10 +255,13 @@ def speculative_decode_loop(
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    return DecodeLoopOutput(
+    out = DecodeLoopOutput(
         tokens=st.tokens[:, :total],
         token_logprobs=st.token_logprobs[:, :total],
         length=jnp.minimum(st.pos, total),
         no_speech_prob=prefill.no_speech_prob,
         alignment=None,
     )
+    if return_state:
+        return out, st
+    return out

@@ -494,12 +494,11 @@ def decoder_forward(
         # 1.43 ms/step of pure copy at b=32 turbo (29% of the step,
         # tools/perf_decode.py); the unrolled direct update removes it.
         # Fused q/k/v projection for the single-token step: 3 matvecs → 1
-        # per layer. The T==1 step is op-overhead-bound (≈450 fused ops ×
-        # ~10 µs ≈ the gap between measured ms/step and the bandwidth
-        # floor, tools/perf_decode.py attribution), so fewer-larger ops
-        # win here even though fused QKV measured SLOWER on the encoder's
-        # T=1500 shapes. The concat is loop-invariant — XLA hoists it out
-        # of the decode while_loop (one ~0.3 GB copy per window group).
+        # per layer. MEASURED AND REJECTED (docs/BENCHMARKS.md r5): 16.0
+        # vs 13.3 ms/step at b=32 large-v3 serving — 21% SLOWER, refuting
+        # the op-count-overhead theory it tested. Kept ONLY as an ablation
+        # flag for reproducibility (token-exact parity pinned in
+        # tests/test_decoding.py); never enable in production.
         fuse_qkv = "fuse_qkv" in ablate and "self" not in ablate
         if fuse_qkv:
             att = dec["blocks"]["attn"]

@@ -269,7 +269,33 @@ class BatchScheduler:
             # unrelated jobs, and never cache one job's language on the
             # pipeline for the next (reference: each transcription detects
             # independently, TextDecoder.swift:420)
-            langs = pipe._detect_languages_per_row(ck, cv, n)
+            langs = list(pipe._detect_languages_per_row(ck, cv, n))
+            if not options.detect_language:
+                # ONE language per multi-window job (reference: a single
+                # detection per transcription; only detect_language=True
+                # re-detects per window): a job's language is decided by
+                # its lowest-index window — windows enqueue in order and
+                # groups process FIFO, so that is window 0's batch — and
+                # every other window of the job decodes with it (r5
+                # review: per-row detection let one noisy window
+                # code-switch mid-transcript).
+                choice: dict[int, tuple[int, str]] = {}
+                for w, lg in zip(group, langs):
+                    if w.parent is not None and w.parent.language is None:
+                        cur = choice.get(id(w.parent))
+                        if cur is None or w.index < cur[0]:
+                            choice[id(w.parent)] = (w.index, lg)
+                for w in group:
+                    if w.parent is not None and w.parent.language is None:
+                        picked = choice.get(id(w.parent))
+                        if picked is not None:
+                            w.parent.language = picked[1]
+                langs = [
+                    w.parent.language
+                    if w.parent is not None and w.parent.language
+                    else lg
+                    for w, lg in zip(group, langs)
+                ]
         else:
             langs = [pipe._resolve_language(options, ck, cv, n)] * n
         pad_langs = [langs[0]] * (bucket - n)  # pad rows are discarded

@@ -357,10 +357,19 @@ class WhisperPipeline:
             self.config.compute_options.quantize_cross_kv
             and options.beam_size <= 1
         )
+        # mirror every _decode_with_fallback guard knowable at encode time
+        # (r5 review: word-timestamp/early-stop/segmented decodes can never
+        # take the speculative path, so computing the draft encode for them
+        # wasted a full draft forward + held its cross-KV on device)
         if (
             self.draft_params is not None
             and mel_batch.shape[0] == 1
             and options.beam_size <= 1
+            and not (
+                options.word_timestamps and self.alignment_heads is not None
+            )
+            and self.early_stop_flag is None
+            and not self.config.compute_options.segmented_decode
         ):
             _, dck, dcv = encode_window(
                 self.draft_params, mel_batch, self.draft_dims
