@@ -310,6 +310,61 @@ def test_decode_loop_segmented_compaction_exact(params, encoded):
         np.testing.assert_allclose(a[: 2 + n + 1, r], b[: 2 + n + 1, r], atol=1e-5)
 
 
+def test_decode_loop_int8_self_kv_close_to_raw(params):
+    """Opt-in int8 self-KV (per-token scales, quantized at write time —
+    models/whisper._self_kv_write / _attend_self_q8): greedy trajectories
+    on the tiny model must essentially match the raw-cache path (per-row
+    quantization error is ~1%; ties can flip near-equal logits, so require
+    >=90% token agreement rather than exactness)."""
+    mel = jax.random.normal(jax.random.PRNGKey(5), (4, 80, 3000)) * 0.1
+    _, ck, cv = encode_window(params, mel, DIMS)
+    prompt = jnp.asarray([[SP.sot, SP.transcribe]] * 4, jnp.int32)
+    kwargs = dict(
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=16, top_k=5,
+        sot_index=0, use_timestamp_rules=True, suppress_blank=False,
+    )
+    raw = decode_loop(params, ck, cv, prompt, jnp.zeros((V,)), _scalars(), **kwargs)
+    q8 = decode_loop(
+        params, ck, cv, prompt, jnp.zeros((V,)), _scalars(),
+        quantize_self_kv=True, **kwargs,
+    )
+    agree = (np.asarray(raw.tokens) == np.asarray(q8.tokens)).mean()
+    assert agree >= 0.9, agree
+    # determinism of the quantized path itself
+    q8b = decode_loop(
+        params, ck, cv, prompt, jnp.zeros((V,)), _scalars(),
+        quantize_self_kv=True, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(q8.tokens), np.asarray(q8b.tokens))
+
+
+def test_decode_loop_segmented_compaction_int8_self_kv(params):
+    """Batch compaction must gather the int8 self-KV dict cache through
+    jax.tree.map (a raw jnp.take on the dict would throw) and stay exact
+    vs the unsegmented int8 decode."""
+    from whisperkit_tpu.decoding.loop import decode_loop_segmented
+
+    mel = jax.random.normal(jax.random.PRNGKey(3), (8, 80, 3000)) * 0.05
+    _, ck8, cv8 = encode_window(params, mel, DIMS)
+    prompt = jnp.asarray(
+        [[SP.sot, t] for t in (5, 9, 17, 33, 57, 101, 150, 188)], jnp.int32
+    )
+    sup = jnp.zeros((V,)).at[SP.eot].set(3.0)
+    kwargs = dict(
+        dims=DIMS, special=SP, sample_begin=2, max_new_tokens=48, top_k=5,
+        sot_index=0, use_timestamp_rules=False, suppress_blank=False,
+        quantize_self_kv=True,
+    )
+    base = decode_loop(params, ck8, cv8, prompt, sup, _scalars(), **kwargs)
+    comp = decode_loop_segmented(
+        params, ck8, cv8, prompt, sup, _scalars(),
+        segment_tokens=8, compact=True, **kwargs,
+    )
+    done_steps = (np.asarray(base.tokens)[:, 2:] != SP.eot).sum(1)
+    assert len(set(done_steps.tolist())) > 2, done_steps  # compaction triggers
+    np.testing.assert_array_equal(np.asarray(base.tokens), np.asarray(comp.tokens))
+
+
 def test_pipeline_segmented_decode_mode(params):
     """ComputeOptions(segmented_decode=True) routes greedy decodes through
     the compacting segmented driver and matches the default path."""

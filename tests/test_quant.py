@@ -306,6 +306,49 @@ def test_pipeline_quantized_cross_kv_beam_keeps_bf16():
     assert res.segments
 
 
+def test_pipeline_int8_self_kv_end_to_end():
+    """ComputeOptions(quantize_cross_kv=True, quantize_self_kv=True) — the
+    fully-int8-KV serving candidate — must transcribe end to end, including
+    the word-timestamp alignment capture riding the unrolled T==1 step with
+    a dict self-KV cache."""
+    import jax
+
+    from whisperkit_tpu.core.configurations import (
+        ComputeOptions,
+        DecodingOptions,
+        WhisperConfig,
+    )
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    pipe = WhisperPipeline(
+        WhisperConfig(
+            compute_options=ComputeOptions(
+                quantize_cross_kv=True, quantize_self_kv=True
+            )
+        ),
+        dims=dims,
+        params=params,
+        alignment_heads=np.asarray([[0, 0], [1, 2]], np.int32),
+    )
+    audio = np.random.default_rng(0).standard_normal(16000 * 3).astype(np.float32) * 0.1
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(
+            language="en", sample_length=6, temperature_fallback_count=0,
+            word_timestamps=True,
+            first_token_log_prob_threshold=None, no_speech_threshold=None,
+            logprob_threshold=None, compression_ratio_threshold=None,
+        ),
+    )
+    assert res.segments and np.isfinite(res.segments[0].avg_logprob)
+    for seg in res.segments:
+        for w in seg.words:
+            assert w.end >= w.start >= 0.0
+
+
 def test_pipeline_quantized_cross_kv_with_word_timestamps():
     """ADVICE r2 (medium): quantized cross-KV is an int8 dict — the decode
     loop must size the alignment buffer from it instead of reading .shape,

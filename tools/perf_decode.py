@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--int8", action="store_true", help="measure the int8 cross-KV variant too")
     ap.add_argument(
+        "--only", default=None,
+        help="comma-separated variant names to run (skips the rest of the "
+        "ladder; attribution table suppressed unless base is included)",
+    )
+    ap.add_argument(
         "--serving", action="store_true",
         help="serving-preset mode: int8 cross-KV ONLY via the fused "
         "per-layer encode (whole-batch bf16 K/V never materializes — the "
@@ -93,7 +98,10 @@ def main() -> None:
     # would otherwise stop at data-dependent steps and skew the delta)
     suppress = jnp.zeros((dims.n_vocab,), np.float32).at[sp.eot].set(-np.inf)
 
-    def run(n_steps: int, rules: bool, ablate: tuple, seed: int, quant=False) -> float:
+    def run(
+        n_steps: int, rules: bool, ablate: tuple, seed: int, quant=False,
+        quant_self=False,
+    ) -> float:
         scalars = DecodeScalars(
             temperature=jnp.float32(0.0),
             max_initial_timestamp_index=jnp.int32(50),
@@ -105,7 +113,7 @@ def main() -> None:
             prompt, suppress, scalars,
             dims=dims, special=sp, sample_begin=2, max_new_tokens=n_steps,
             top_k=5, sot_index=0, use_timestamp_rules=rules,
-            suppress_blank=False, ablate=ablate,
+            suppress_blank=False, ablate=ablate, quantize_self_kv=quant_self,
         )
         t0 = time.perf_counter()
         np.asarray(out.tokens)  # forced host transfer (CLAUDE.md timing note)
@@ -125,21 +133,37 @@ def main() -> None:
 
     if with_int8:
         variants.append(("int8_cross_kv", True, ()))
+    # int8 SELF-KV (per-token scales, quantize-on-write): composes with
+    # whatever cross-KV mode is active — in --serving mode this row is the
+    # serving preset + int8 self-KV, the candidate fully-int8-KV config
+    variants.append(("int8_self_kv", True, ()))
+
+    if args.only:
+        keep = set(args.only.split(","))
+        variants = [v for v in variants if v[0] in keep]
 
     results = {}
     for name, rules, ablate in variants:
         quant = name == "int8_cross_kv"
+        quant_self = name == "int8_self_kv"
         per_step = []
-        run(args.short, rules, ablate, 0, quant)  # compile both shapes
-        run(args.long_, rules, ablate, 0, quant)
+        run(args.short, rules, ablate, 0, quant, quant_self)  # compile both shapes
+        run(args.long_, rules, ablate, 0, quant, quant_self)
         for i in range(args.iters):
-            ts = run(args.short, rules, ablate, i + 1, quant)
-            tl = run(args.long_, rules, ablate, i + 1, quant)
+            ts = run(args.short, rules, ablate, i + 1, quant, quant_self)
+            tl = run(args.long_, rules, ablate, i + 1, quant, quant_self)
             per_step.append((tl - ts) / (args.long_ - args.short))
         ms = float(np.median(per_step) * 1000)
         results[name] = ms
         print(f"{name:14s} {ms:7.3f} ms/step", flush=True)
 
+    if "base" not in results or args.only:
+        print(json.dumps({
+            "batch": batch, "variant": variant,
+            "serving_int8_kv": args.serving,
+            **{k: round(v, 3) for k, v in results.items()},
+        }))
+        return
     base = results["base"]
     print("\n| component | ms/step | share of base |")
     print("|---|---|---|")

@@ -109,6 +109,12 @@ class ComputeOptions:
     # per-step win since the r3 unrolled KV update (2.42 → 1.95 ms/step at
     # b=32 turbo; docs/BENCHMARKS.md) at ~2.6% activation error — opt-in
     # serving mode
+    quantize_self_kv: bool = False  # int8 decode SELF-KV (per-token
+    # scales, quantized at write time — models/whisper._self_kv_write):
+    # halves the per-step self-KV HBM read (35% of the b=32 serving step,
+    # docs/BENCHMARKS.md r5 attribution). Greedy path only (beam tiles raw
+    # arrays; speculative verify keeps raw KV) — opt-in serving mode like
+    # quantize_cross_kv.
     segmented_decode: bool = False  # run greedy decodes as resumable
     # ~32-token segments with finished-row batch COMPACTION between them
     # (real speech finishes at ~50-80 of 224 tokens; the slowest row no

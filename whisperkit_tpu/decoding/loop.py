@@ -129,6 +129,7 @@ def _gather_alignment(cross_probs, align_heads: np.ndarray):
         "max_new_tokens",
         "sot_index",
         "alignment_heads",
+        "quantize_self_kv",
     ),
 )
 def prefill_window(
@@ -143,8 +144,16 @@ def prefill_window(
     max_new_tokens: int,
     sot_index: int,
     alignment_heads: Optional[tuple] = None,
+    quantize_self_kv: bool = False,
 ) -> PrefillState:
-    """Run the prompt through the decoder once; see PrefillState."""
+    """Run the prompt through the decoder once; see PrefillState.
+
+    `quantize_self_kv=True` allocates the self-attention cache in the int8
+    per-token-scale form (models/whisper._self_kv_write quantizes rows at
+    write time; _attend reads them with int8×int8 dots) — halves the
+    per-step self-KV HBM read, which is 35% of the b=32 serving step
+    (docs/BENCHMARKS.md r5 attribution). Opt-in serving mode like the int8
+    cross-KV."""
     b, p = prompt.shape
     assert p == sample_begin
     total = sample_begin + max_new_tokens
@@ -152,8 +161,15 @@ def prefill_window(
 
     kv_shape = (dims.n_text_layer, b, dims.n_text_head, total, dims.head_dim)
     kv_dtype = params["decoder"]["token_embed"].dtype
-    kv_k = jnp.zeros(kv_shape, kv_dtype)
-    kv_v = jnp.zeros(kv_shape, kv_dtype)
+    if quantize_self_kv:
+        kv_k = {
+            "q8": jnp.zeros(kv_shape, jnp.int8),
+            "scale": jnp.zeros(kv_shape[:-1] + (1,), jnp.float32),
+        }
+        kv_v = jax.tree.map(jnp.copy, kv_k)
+    else:
+        kv_k = jnp.zeros(kv_shape, kv_dtype)
+        kv_v = jnp.zeros(kv_shape, kv_dtype)
 
     logits, (kv_k, kv_v), cross_probs = decoder_forward(
         params, prompt, 0, kv_k, kv_v, cross_k, cross_v, dims,
@@ -181,6 +197,7 @@ def prefill_window(
         "special",
         "alignment_heads",
         "ablate",
+        "quantize_self_kv",
     ),
 )
 def decode_loop(
@@ -204,6 +221,7 @@ def decode_loop(
     ablate: tuple = (),  # static perf-attribution switches (see
     # models/whisper.decoder_forward); "sampler" additionally reduces
     # sampling to a bare argmax. Production callers leave this empty.
+    quantize_self_kv: bool = False,
 ) -> DecodeLoopOutput:
     b, p = prompt.shape
     assert p == sample_begin
@@ -218,7 +236,7 @@ def decode_loop(
             params, cross_k, cross_v, prompt,
             dims=dims, special=special, sample_begin=sample_begin,
             max_new_tokens=max_new_tokens, sot_index=sot_index,
-            alignment_heads=alignment_heads,
+            alignment_heads=alignment_heads, quantize_self_kv=quantize_self_kv,
         )
     kv_k, kv_v = prefill.kv_k, prefill.kv_v
     no_speech_prob = prefill.no_speech_prob
@@ -387,6 +405,7 @@ def decode_loop_segmented(
     segment_tokens: int = 32,
     should_stop=None,  # host callable () -> bool, polled between segments
     compact: bool = False,
+    quantize_self_kv: bool = False,
 ) -> DecodeLoopOutput:
     """decode_loop with HOST checkpoints every `segment_tokens` tokens.
 
@@ -410,7 +429,7 @@ def decode_loop_segmented(
             params, cross_k, cross_v, prompt,
             dims=dims, special=special, sample_begin=sample_begin,
             max_new_tokens=max_new_tokens, sot_index=sot_index,
-            alignment_heads=alignment_heads,
+            alignment_heads=alignment_heads, quantize_self_kv=quantize_self_kv,
         )
     state = _init_decode_state(
         prompt, prefill, cross_k, scalars.rng_key,
@@ -482,8 +501,8 @@ def decode_loop_segmented(
             pos=state.pos,
             tokens=take1(state.tokens),
             token_logprobs=take1(state.token_logprobs),
-            kv_k=jnp.take(state.kv_k, gather, axis=1),
-            kv_v=jnp.take(state.kv_v, gather, axis=1),
+            kv_k=jax.tree.map(lambda x: jnp.take(x, gather, axis=1), state.kv_k),
+            kv_v=jax.tree.map(lambda x: jnp.take(x, gather, axis=1), state.kv_v),
             done=take1(state.done).at[len(active):].set(True),
             last_logits=take1(state.last_logits),
             key=state.key,

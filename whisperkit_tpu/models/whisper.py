@@ -210,6 +210,67 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
 
 
+def _q8_rows(x):
+    """Per-token symmetric int8 over the last (Dh) axis.
+
+    Returns (q8 int8 same shape, scale f32 [..., 1]) with x ≈ q8 * scale.
+    Used by the int8 self-KV cache: each written K/V row carries its own
+    scale, so quantization happens incrementally at write time (the cross-KV
+    path quantizes per-CHANNEL over the full 1500-frame axis instead — see
+    compute_cross_kv_quantized — which is impossible for an autoregressive
+    cache that grows one row per step)."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.abs(x32).max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    return jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8), scale
+
+
+def _self_kv_write(cache, new, idx):
+    """Write new K/V rows into the self-attention cache at `idx`,
+    quantizing on write when the cache is the int8 {"q8","scale"} form."""
+    if isinstance(cache, dict):
+        q8, sc = _q8_rows(new)
+        return {
+            "q8": jax.lax.dynamic_update_slice(cache["q8"], q8, idx),
+            "scale": jax.lax.dynamic_update_slice(cache["scale"], sc, idx),
+        }
+    return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), idx)
+
+
+def _attend_self_q8(q, k, v, mask=None, capture_probs=False):
+    """Self-attention over the int8 per-token-scale KV cache.
+
+    k/v: {"q8": int8 [B,H,S,Dh], "scale": f32 [B,H,S,1]} (rows written by
+    `_self_kv_write`). Same int8×int8 MXU recipe as `_cross_attend`'s int8
+    path, but with PER-TOKEN scales folded after the score dot (kscale
+    varies along the key axis, so it cannot fold into q the way the
+    cross path's per-channel scale does) and into the probs before the V
+    dot. Unwritten cache rows are all-zero with zero scale; the causal
+    mask −inf's them regardless. Bandwidth: the decode loop is KV-read
+    bound (docs/BENCHMARKS.md r5 attribution: self-attention 35% of the
+    b=32 serving step) and this halves the bytes of every self-KV read."""
+    dh = q.shape[-1]
+    qs = q.astype(jnp.float32) * (dh**-0.5)
+    q_scale = jnp.maximum(jnp.abs(qs).max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    qi = jnp.clip(jnp.round(qs / q_scale), -127, 127).astype(jnp.int8)
+    scores_i = jnp.einsum(
+        "bhtd,bhsd->bhts", qi, k["q8"], preferred_element_type=jnp.int32
+    )
+    scores = scores_i.astype(jnp.float32) * q_scale * jnp.swapaxes(k["scale"], -1, -2)
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = probs * jnp.swapaxes(v["scale"], -1, -2)
+    p_scale = jnp.maximum(pw.max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    pi = jnp.clip(jnp.round(pw / p_scale), 0, 127).astype(jnp.int8)
+    out_i = jnp.einsum(
+        "bhts,bhsd->bhtd", pi, v["q8"], preferred_element_type=jnp.int32
+    )
+    out = (out_i.astype(jnp.float32) * p_scale).astype(q.dtype)
+    if capture_probs:
+        return out, probs
+    return out
+
+
 def _attend(q, k, v, mask=None, capture_probs=False):
     """q:[B,H,Tq,Dh] k,v:[B,H,Tk,Dh]; whisper scales q and k by dh^-0.25.
 
@@ -219,6 +280,8 @@ def _attend(q, k, v, mask=None, capture_probs=False):
     bf16 scores measured 494→358 ms (37→52% MFU) at b=16 large-v3-turbo on
     v5e (tools/perf_encoder.py v0 vs v9).
     """
+    if isinstance(k, dict):
+        return _attend_self_q8(q, k, v, mask, capture_probs)
     scale = q.shape[-1] ** -0.25
     keep_f32 = capture_probs or q.dtype == jnp.float32 or k.dtype == jnp.float32
     scores = jnp.einsum(
@@ -438,11 +501,15 @@ def decoder_forward(
     dec = params["decoder"]
     b, t = tokens.shape
     n_head = dims.n_text_head
-    s_max = kv_k.shape[3]
+    # kv_k/kv_v are raw arrays OR int8 {"q8","scale"} trees (opt-in
+    # quantize_self_kv serving mode; written via _self_kv_write, read via
+    # _attend's int8 dispatch)
+    kv_is_q8 = isinstance(kv_k, dict)
+    s_max = (kv_k["q8"] if kv_is_q8 else kv_k).shape[3]
 
     x = dec["token_embed"][tokens]
     pos = jax.lax.dynamic_slice_in_dim(dec["pos_embed"], pos_offset, t, 0)
-    x = (x + pos[None]).astype(kv_k.dtype)
+    x = (x + pos[None]).astype(dec["token_embed"].dtype)
 
     # causal mask within the new tokens + visibility of all cached positions
     # key positions: 0..S-1; query i (absolute pos_offset+i) attends keys <= pos_offset+i
@@ -460,8 +527,8 @@ def decoder_forward(
             k_new = _split_heads(dense(h, bp["attn"]["k"]), n_head)
             v_new = _split_heads(dense(h, bp["attn"]["v"]), n_head)
             if "kv_update" not in ablate:
-                kk = jax.lax.dynamic_update_slice(kk, k_new.astype(kk.dtype), (0, 0, pos_offset, 0))
-                vv = jax.lax.dynamic_update_slice(vv, v_new.astype(vv.dtype), (0, 0, pos_offset, 0))
+                kk = _self_kv_write(kk, k_new, (0, 0, pos_offset, 0))
+                vv = _self_kv_write(vv, v_new, (0, 0, pos_offset, 0))
             attn = _attend(q, kk, vv, mask)
             x = x + dense(_merge_heads(attn), bp["attn"]["out"])
 
@@ -544,13 +611,21 @@ def decoder_forward(
                     k_new = _split_heads(dense(h, bp["attn"]["k"]), n_head)
                     v_new = _split_heads(dense(h, bp["attn"]["v"]), n_head)
                 if "kv_update" not in ablate:
-                    kv_k = jax.lax.dynamic_update_slice(
-                        kv_k, k_new[None].astype(kv_k.dtype), (li, 0, 0, pos_offset, 0)
+                    kv_k = _self_kv_write(
+                        kv_k, k_new[None], (li, 0, 0, pos_offset, 0)
                     )
-                    kv_v = jax.lax.dynamic_update_slice(
-                        kv_v, v_new[None].astype(kv_v.dtype), (li, 0, 0, pos_offset, 0)
+                    kv_v = _self_kv_write(
+                        kv_v, v_new[None], (li, 0, 0, pos_offset, 0)
                     )
-                attn = _attend(q, kv_k[li], kv_v[li], mask)
+                if kv_is_q8:
+                    attn = _attend(
+                        q,
+                        jax.tree.map(lambda a: a[li], kv_k),
+                        jax.tree.map(lambda a: a[li], kv_v),
+                        mask,
+                    )
+                else:
+                    attn = _attend(q, kv_k[li], kv_v[li], mask)
                 x = x + dense(_merge_heads(attn), bp["attn"]["out"])
             if "cross" not in ablate:
                 h = layer_norm(x, bp["cross_attn_ln"])

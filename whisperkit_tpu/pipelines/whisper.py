@@ -474,6 +474,10 @@ class WhisperPipeline:
         from whisperkit_tpu.decoding.loop import prefill_window
 
         prefill = None
+        # int8 self-KV rides the shared prefill: the cache TYPE is fixed at
+        # allocation, so the flag only matters here (decode_loop consumes
+        # whatever cache the prefill carries)
+        qskv = self.config.compute_options.quantize_self_kv
 
         def get_prefill():
             nonlocal prefill
@@ -483,7 +487,7 @@ class WhisperPipeline:
                     self.params, cross_k, cross_v, prompt_arr,
                     dims=self.dims, special=sp, sample_begin=len(prompt),
                     max_new_tokens=max_new, sot_index=sot_index,
-                    alignment_heads=align_heads,
+                    alignment_heads=align_heads, quantize_self_kv=qskv,
                 )
                 self.timings.prefill += time.perf_counter() - t_pre
             else:
