@@ -367,3 +367,49 @@ def test_tts_pipeline_multichip_sharding():
     )
     assert pipe.timings.chunks >= 2  # real chunks only (pads dropped)
     assert res.audio.size > 0 and np.isfinite(res.audio).all()
+
+
+def test_tp_sharding_w4_tree():
+    """W4A16 trees ({"w_q4","scale4"}) shard under TP like bf16/W8A16 ones
+    (same Megatron roles; row-split group scales replicate) and the sharded
+    model computes a batched transcribe through the mesh."""
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multiple devices")
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.ops.quant import quantize_whisper_params
+    from whisperkit_tpu.parallel.mesh import make_mesh
+    from whisperkit_tpu.parallel.sharding import shard_whisper_params
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    params = quantize_whisper_params(
+        init_params(jax.random.PRNGKey(0), dims), min_size=0, bits=4
+    )
+    plan = make_mesh(dp=2, tp=2)
+    sharded = shard_whisper_params(plan, params)
+    fc1 = sharded["encoder"]["blocks"]["fc1"]
+    fc2 = sharded["encoder"]["blocks"]["fc2"]
+    assert "tp" in str(fc1["w_q4"].sharding.spec)  # column-split landed
+    assert "tp" in str(fc1["scale4"].sharding.spec)  # out-axis scale follows
+    assert "tp" in str(fc2["w_q4"].sharding.spec)  # row-split landed
+    assert "tp" not in str(fc2["scale4"].sharding.spec)  # replicated
+
+    from whisperkit_tpu.core.configurations import ComputeOptions, DecodingOptions
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    pipe = WhisperPipeline(
+        dims=dims, params=params,
+        compute_options=ComputeOptions(tp_size=2, quantization="w4a16"),
+    )
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(16000 * 35) * 0.1).astype(np.float32)
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(
+            language="en", sample_length=6, chunking_strategy="vad",
+            temperature_fallback_count=0, logprob_threshold=None,
+            compression_ratio_threshold=None, no_speech_threshold=None,
+            first_token_log_prob_threshold=None, concurrent_worker_count=2,
+        ),
+    )
+    assert res.segments

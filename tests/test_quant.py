@@ -385,3 +385,120 @@ def test_pipeline_quantized_cross_kv_with_word_timestamps():
     for seg in res.segments:
         for w in seg.words:
             assert w.end >= w.start >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# W4A16 (group-wise int4 — the reference's 4-bit palettized variant family,
+# fastlane/Fastfile:26-55, as a TPU-native S4 form)
+# ---------------------------------------------------------------------------
+
+
+def test_w4_quantize_roundtrip_and_matmul():
+    from whisperkit_tpu.ops.quant import (
+        dequantize_weight_w4,
+        quantize_weight_w4,
+        quantized_matmul_w4,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((128, 96)) * 0.02, jnp.float32)
+    q = quantize_weight_w4(w)
+    assert q["w_q4"].dtype == jnp.int4
+    assert q["w_q4"].shape == (128, 96)
+    assert q["scale4"].shape == (2, 96)  # group=64 → 2 groups
+    back = np.asarray(dequantize_weight_w4(q, jnp.float32))
+    # per-element error is bounded by half a quantization step of its group
+    # (+0.4% slack for the bf16 rounding of the stored scale)
+    step = np.repeat(np.asarray(q["scale4"], np.float32), 64, axis=0)
+    assert (np.abs(back - np.asarray(w)) <= 0.52 * step + 1e-6).all()
+
+    x = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32)
+    y_fused = np.asarray(quantized_matmul_w4(x, q))
+    y_ref = np.asarray(x @ dequantize_weight_w4(q, jnp.float32))
+    np.testing.assert_allclose(y_fused, y_ref, atol=1e-3)
+
+    # dense() dispatches on the w_q4 form
+    b = jnp.zeros((96,), jnp.float32)
+    y_dense = np.asarray(dense(x, dict(q, b=b)))
+    np.testing.assert_allclose(y_dense, y_ref, atol=1e-3)
+
+
+def test_w4_non_divisible_input_falls_back_to_one_group():
+    from whisperkit_tpu.ops.quant import dequantize_weight_w4, quantize_weight_w4
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((50, 8)) * 0.1, jnp.float32)
+    q = quantize_weight_w4(w)
+    assert q["scale4"].shape == (1, 8)
+    back = np.asarray(dequantize_weight_w4(q, jnp.float32))
+    rel = np.abs(back - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.10  # int4 single-group: coarse but bounded
+
+
+def test_w4_whisper_params_structure_and_size():
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    q4 = quantize_whisper_params(params, min_size=1, bits=4)
+    blocks = q4["encoder"]["blocks"]
+    assert "w_q4" in blocks["fc1"] and "scale4" in blocks["fc1"]
+    assert blocks["fc1"]["w_q4"].dtype == jnp.int4
+    # stacked [L, in, out] + stacked scales [L, g, out]
+    L = DIMS.n_audio_layer
+    assert blocks["fc1"]["w_q4"].shape[0] == L
+    assert blocks["fc1"]["scale4"].shape[0] == L
+    # convs and embeddings untouched
+    assert "w" in q4["encoder"]["conv1"]
+    q8 = quantize_whisper_params(params, min_size=1)
+    assert quantized_size_bytes(q4) < quantized_size_bytes(q8)
+
+
+def test_w4_pipeline_end_to_end():
+    """The W4A16 tree runs the full pipeline (prefill scan over stacked int4
+    weights + the unrolled T==1 step) and produces structurally valid
+    output."""
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    q4 = quantize_whisper_params(params, min_size=1, bits=4)
+    pipe = WhisperPipeline(dims=DIMS, params=q4)
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    res = pipe.transcribe(audio, DecodingOptions(sample_length=8, language="en"))
+    assert res.segments
+    assert all(s.end >= s.start for s in res.segments)
+
+
+def test_w4_decoder_logits_track_bf16():
+    """Teacher-forced decoder logits from the W4 tree stay within the int4
+    round-to-nearest error envelope of the full-precision logits.
+
+    (An autoregressive token-agreement assertion is NOT meaningful here:
+    int4 RTN on iid gaussian random-init weights has ~14% per-weight RMS
+    error — scale = max/7 ≈ 0.5σ — and random-init logits are near-flat, so
+    argmax flips early and the sequences diverge by construction. On real
+    weights quality is a WER question — docs/WER_RUNBOOK.md — exactly as
+    the reference treats its 4-bit palettized variants.)"""
+    from whisperkit_tpu.decoding.loop import encode_window
+    from whisperkit_tpu.models.whisper import decoder_forward
+    from whisperkit_tpu.ops.mel import log_mel_spectrogram
+
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    q4 = quantize_whisper_params(params, min_size=1, bits=4)
+    rng = np.random.default_rng(3)
+    audio = jnp.asarray(rng.standard_normal((1, 480_000)) * 0.1, jnp.float32)
+    mel = log_mel_spectrogram(audio, n_mels=DIMS.n_mels)
+    tokens = jnp.asarray(rng.integers(0, DIMS.n_vocab, (1, 8)), jnp.int32)
+    dh = DIMS.n_text_state // DIMS.n_text_head
+    kv_shape = (DIMS.n_text_layer, 1, DIMS.n_text_head, 16, dh)
+
+    def logits(p):
+        _, ck, cv = encode_window(p, mel, DIMS)
+        kv_dtype = p["decoder"]["token_embed"].dtype
+        out, _, _ = decoder_forward(
+            p, tokens, 0, jnp.zeros(kv_shape, kv_dtype),
+            jnp.zeros(kv_shape, kv_dtype), ck, cv, DIMS,
+        )
+        return np.asarray(out, np.float32)
+
+    l_full, l_q4 = logits(params), logits(q4)
+    rel = np.linalg.norm(l_q4 - l_full) / np.linalg.norm(l_full)
+    assert rel < 0.35, f"w4 logits error too large: {rel}"
+    # and the error must be real quantization noise, not a broken path
+    assert rel > 1e-4

@@ -1,0 +1,93 @@
+"""Generic one-shot pipeline-config probe: RTF of the REAL pipeline
+(VAD-chunked, rules on, 224-token budget, 12 min audio) for an arbitrary
+combination of the quantization/serving knobs, so candidate configs can be
+A/B'd on the chip without editing bench.py.
+
+Examples:
+  python tools/probe_pipeline_config.py --self-kv              # serving + int8 self-KV
+  python tools/probe_pipeline_config.py --w8a16 --self-kv      # fully-quantized candidate
+  python tools/probe_pipeline_config.py --no-cross-kv --group 16  # plain bf16 b=16
+
+Reference hot path: TextDecoder.swift:573-757 (decode loop) — this probe
+measures the whole `WhisperPipeline.transcribe` wrapping it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="large-v3")
+    ap.add_argument("--group", type=int, default=32)
+    ap.add_argument("--minutes", type=float, default=12.0)
+    ap.add_argument("--w8a16", action="store_true")
+    ap.add_argument("--self-kv", dest="self_kv", action="store_true")
+    ap.add_argument(
+        "--no-cross-kv", dest="cross_kv", action="store_false",
+        help="drop the serving preset's fused int8 cross-KV (bf16 cross-KV; "
+        "large-v3 then needs --group 16 to fit)",
+    )
+    ap.add_argument("--passes", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+
+    from whisperkit_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bench import synth_speechlike_audio
+    from whisperkit_tpu.core.configurations import (
+        ComputeOptions,
+        DecodingOptions,
+        WhisperConfig,
+    )
+    from whisperkit_tpu.models.whisper import VARIANT_DIMS, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    audio = synth_speechlike_audio(args.minutes * 60.0)
+    dims = VARIANT_DIMS[args.variant]
+    params = init_params(jax.random.PRNGKey(0), dims)
+    if args.w8a16:
+        from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+        params = quantize_whisper_params(params)
+    compute = ComputeOptions(
+        quantize_cross_kv=args.cross_kv, quantize_self_kv=args.self_kv
+    )
+    pipe = WhisperPipeline(
+        WhisperConfig(compute_options=compute), dims=dims, params=params
+    )
+    options = DecodingOptions(
+        language="en", chunking_strategy="vad", sample_length=224,
+        temperature_fallback_count=0, logprob_threshold=None,
+        compression_ratio_threshold=None, no_speech_threshold=None,
+        first_token_log_prob_threshold=None,
+        concurrent_worker_count=args.group,
+    )
+    pipe.transcribe(audio, options)  # compile on the full audio (CLAUDE.md)
+    rtfs = []
+    for _ in range(args.passes):
+        t0 = time.perf_counter()
+        pipe.transcribe(audio, options)
+        rtfs.append((time.perf_counter() - t0) / (args.minutes * 60.0))
+    print(json.dumps({
+        "metric": "probe_pipeline_rtf",
+        "variant": args.variant, "group": args.group,
+        "w8a16": args.w8a16, "cross_kv_int8": args.cross_kv,
+        "self_kv_int8": args.self_kv,
+        "rtfs": [round(r, 5) for r in rtfs],
+        "best": round(min(rtfs), 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,13 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
         "for large-v3): batch-1 greedy decodes run lossless speculative "
         "decoding (decoding/speculative.py)",
     )
+    p.add_argument(
+        "--quantization", choices=["w8a16", "w4a16"], default=None,
+        help="quantize linear weights at load (the reference ships these "
+        "as separate compressed model folders, fastlane/Fastfile:26-55; "
+        "here any checkpoint quantizes on the fly — w4a16 is the analog "
+        "of the 4-bit palettized variants)",
+    )
 
 
 def _add_decoding_args(p: argparse.ArgumentParser) -> None:
@@ -143,7 +150,7 @@ def _decode_options(args, tokenizer=None):
 
 
 def _build_pipeline(args):
-    from whisperkit_tpu.core.configurations import WhisperConfig
+    from whisperkit_tpu.core.configurations import ComputeOptions, WhisperConfig
     from whisperkit_tpu.pipelines.whisper import WhisperPipeline
 
     config = WhisperConfig(
@@ -154,6 +161,9 @@ def _build_pipeline(args):
         download=args.download,
         prewarm=args.prewarm,
         verbose=args.verbose,
+        compute_options=ComputeOptions(
+            quantization=getattr(args, "quantization", None)
+        ),
     )
     draft_dims = draft_params = None
     if getattr(args, "draft_model_folder", None):

@@ -104,7 +104,11 @@ class ComputeOptions:
     activation_dtype: str = "bfloat16"
     logits_dtype: str = "float32"
     quantization: Optional[str] = None  # "w8a16" = int8 linear weights
-    # (the reference's quantized model variants, fastlane/Fastfile:26-55)
+    # (the reference's quantized model variants, fastlane/Fastfile:26-55);
+    # "w4a16" = group-wise int4 linear weights (ops/quant.quantize_weight_w4
+    # — the TPU analog of the reference's 4-bit palettized variants; S4
+    # packs two-per-byte on TPU so the weight-bound b=1 decode reads 4
+    # bits/weight)
     quantize_cross_kv: bool = False  # int8 decode cross-KV: a real −19%
     # per-step win since the r3 unrolled KV update (2.42 → 1.95 ms/step at
     # b=32 turbo; docs/BENCHMARKS.md) at ~2.6% activation error — opt-in

@@ -189,7 +189,11 @@ def layer_norm(x, p, eps=1e-5):
 
 
 def dense(x, p):
-    if "w_q" in p:  # W8A16 (ops/quant.py): dequant fuses into the matmul
+    if "w_q4" in p:  # W4A16 (ops/quant.py): packed int4 + group scales
+        from whisperkit_tpu.ops.quant import quantized_matmul_w4
+
+        y = quantized_matmul_w4(x, p)
+    elif "w_q" in p:  # W8A16 (ops/quant.py): dequant fuses into the matmul
         from whisperkit_tpu.ops.quant import quantized_matmul
 
         y = quantized_matmul(x, p)
@@ -570,21 +574,15 @@ def decoder_forward(
         if fuse_qkv:
             att = dec["blocks"]["attn"]
             d_model = dims.n_text_state
-            if isinstance(att["q"], dict) and "w_q" in att["q"]:
-                wf_all = {
-                    "w_q": jnp.concatenate(
-                        [att[k]["w_q"] for k in ("q", "k", "v")], axis=-1
-                    ),
-                    "scale": jnp.concatenate(
-                        [att[k]["scale"] for k in ("q", "k", "v")], axis=-1
-                    ),
-                }
-            else:
-                wf_all = {
-                    "w": jnp.concatenate(
-                        [att[k]["w"] for k in ("q", "k", "v")], axis=-1
-                    )
-                }
+            # every weight representation (w | w_q+scale | w_q4+scale4)
+            # concatenates along its out axis (-1)
+            wf_all = {
+                key: jnp.concatenate(
+                    [att[k][key] for k in ("q", "k", "v")], axis=-1
+                )
+                for key in att["q"]
+                if key != "b"
+            }
             wf_all["b"] = jnp.concatenate(
                 [
                     att["q"]["b"],

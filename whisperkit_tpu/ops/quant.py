@@ -44,25 +44,87 @@ def quantized_matmul(x: jnp.ndarray, q: dict) -> jnp.ndarray:
     return jnp.dot(x, w)
 
 
+# --- W4A16 (4-bit weights, group-wise scales) --------------------------------
+# TPU-native analog of the reference's 4-bit palettized model family (the
+# 626/632 MB compressed variants, fastlane/Fastfile:26-55): instead of a
+# k-means LUT per weight group (an ANE-friendly layout), symmetric int4 with
+# one bf16 scale per `group` input rows per output channel — XLA stores S4
+# packed two-per-byte on TPU, so the bandwidth-bound decode loop reads 4 bits
+# per weight, and the dequant (convert × broadcast scale) fuses into the
+# matmul operand read exactly like the W8A16 path.
+
+W4_GROUP = 64  # rows per scale group; divides every Whisper linear's d_model
+
+
+def quantize_weight_w4(w: jnp.ndarray, group: int = W4_GROUP) -> dict:
+    """[in, out] float → {"w_q4" int4 [in, out], "scale4" bf16 [in/group, out]}
+    (symmetric per-(group × output-channel) scales; falls back to one group
+    when `group` doesn't divide the input dim)."""
+    w32 = w.astype(jnp.float32)
+    din, dout = w32.shape
+    if din % group:
+        group = din
+    g = din // group
+    wg = w32.reshape(g, group, dout)
+    max_abs = jnp.max(jnp.abs(wg), axis=1)  # [g, out]
+    scale = jnp.maximum(max_abs / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    return {
+        "w_q4": q.astype(jnp.int4).reshape(din, dout),
+        "scale4": scale.astype(jnp.bfloat16),
+    }
+
+
+def _scale4_full(q: dict, dtype) -> jnp.ndarray:
+    """Broadcast the [g, out] group scales to the full [in, out] shape (a
+    broadcast+reshape — stays inside the consumer fusion, never hits HBM)."""
+    din, dout = q["w_q4"].shape
+    g = q["scale4"].shape[0]
+    return jnp.broadcast_to(
+        q["scale4"].astype(dtype)[:, None, :], (g, din // g, dout)
+    ).reshape(din, dout)
+
+
+def dequantize_weight_w4(q: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (
+        q["w_q4"].astype(jnp.float32) * _scale4_full(q, jnp.float32)
+    ).astype(dtype)
+
+
+def quantized_matmul_w4(x: jnp.ndarray, q: dict) -> jnp.ndarray:
+    """x [..., in] @ dequant4(w): only int4 (packed) bytes + [in/group, out]
+    scales cross HBM; the convert/scale chain fuses into the dot's operand
+    read. Kept as a plain 2D dot (not a grouped einsum) so Megatron row/
+    column sharding of w_q4 partitions exactly like the bf16/W8A16 paths."""
+    w = q["w_q4"].astype(x.dtype) * _scale4_full(q, x.dtype)
+    return jnp.dot(x, w)
+
+
 # param-dict keys that hold LINEAR weights ([in, out] or stacked
 # [L, in, out]); convs (also rank-3, but OIH layout) are excluded by name
 _LINEAR_KEYS = {"q", "k", "v", "out", "fc1", "fc2"}
 
 
-def quantize_whisper_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
+def quantize_whisper_params(
+    params: PyTree, min_size: int = 1 << 16, bits: int = 8
+) -> PyTree:
     """Quantize every linear weight ≥ min_size elements in a Whisper param
     tree (token/positional embeddings, norms, convs, biases stay bf16 —
-    matching the reference's W8A16 recipe)."""
+    matching the reference's W8A16 recipe). bits=4 produces the W4A16 form
+    (group-wise int4, the analog of the reference's 4-bit palettized
+    variants)."""
+    assert bits in (8, 4), bits
+    qfn = quantize_weight if bits == 8 else quantize_weight_w4
 
     def quantize_linear(node: dict) -> dict:
         w = node["w"]
         out = {k: v for k, v in node.items() if k != "w"}
         if w.ndim == 2:
-            out.update(quantize_weight(w))
+            out.update(qfn(w))
         else:  # stacked [L, in, out]
-            qs = [quantize_weight(w[i]) for i in range(w.shape[0])]
-            out["w_q"] = jnp.stack([q["w_q"] for q in qs])
-            out["scale"] = jnp.stack([q["scale"] for q in qs])
+            qs = [qfn(w[i]) for i in range(w.shape[0])]
+            for key in qs[0]:
+                out[key] = jnp.stack([q[key] for q in qs])
         return out
 
     def walk(node, key=None):
@@ -81,8 +143,15 @@ def quantize_whisper_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
 
 
 def quantized_size_bytes(params: PyTree) -> int:
+    """Device-resident parameter bytes (XLA packs S4 two-per-byte on TPU,
+    so int4 leaves count 4 bits each — numpy's byte-backed view would
+    double-count them)."""
     leaves = jax.tree.leaves(params)
-    return sum(x.size * x.dtype.itemsize for x in leaves if hasattr(x, "size"))
+    return sum(
+        (x.size + 1) // 2 if x.dtype == jnp.int4 else x.size * x.dtype.itemsize
+        for x in leaves
+        if hasattr(x, "size")
+    )
 
 
 # Qwen3-TTS stacked-block linear keys ([L, in, out]); embeddings, norms and

@@ -51,13 +51,17 @@ def whisper_param_shardings(plan: MeshPlan, params) -> dict:
     def leaf_spec(leaf, leaf_key, parent_key):
         ndim = getattr(leaf, "ndim", None)
         if parent_key in _COL_KEYS:
-            if leaf_key in ("w", "w_q"):
+            if leaf_key in ("w", "w_q", "w_q4"):
                 return _spec(plan, *([None] * (ndim - 1)), "tp")
-            if leaf_key in ("b", "scale"):
+            if leaf_key in ("b", "scale", "scale4"):
+                # scale4 [*, g, out] shards its out axis like scale [*, out]
                 return _spec(plan, *([None] * (ndim - 1)), "tp")
         elif parent_key in _ROW_KEYS:
-            if leaf_key in ("w", "w_q"):
+            if leaf_key in ("w", "w_q", "w_q4"):
                 return _spec(plan, *([None] * (ndim - 2)), "tp", None)
+            # row-split scale4's group axis (in/64) is rarely divisible by
+            # tp — replicate it (a few KB) and let the w_q4 dequant read the
+            # local slice of the broadcast
         return rep
 
     def walk(node, key=None, parent=None):

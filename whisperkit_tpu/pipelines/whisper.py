@@ -157,10 +157,13 @@ class WhisperPipeline:
             download=self.config.download,
         )
         self.dims, self.params, heads = load_whisper(folder)
-        if self.config.compute_options.quantization == "w8a16":
+        if self.config.compute_options.quantization in ("w8a16", "w4a16"):
             from whisperkit_tpu.ops.quant import quantize_whisper_params
 
-            self.params = quantize_whisper_params(self.params)
+            self.params = quantize_whisper_params(
+                self.params,
+                bits=4 if self.config.compute_options.quantization == "w4a16" else 8,
+            )
         if self.alignment_heads is None:
             self.alignment_heads = heads
         try:
