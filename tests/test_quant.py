@@ -502,3 +502,41 @@ def test_w4_decoder_logits_track_bf16():
     assert rel < 0.35, f"w4 logits error too large: {rel}"
     # and the error must be real quantization noise, not a broken path
     assert rel > 1e-4
+
+
+def test_tts_w4_quantization_pipeline():
+    """W4A16 TTS: the int4 tree synthesizes finite audio end-to-end, the
+    code-decoder logits stay within the int4 RTN envelope of f32, and the
+    device footprint shrinks below the W8A16 tree's."""
+    import jax
+
+    from whisperkit_tpu.models.qwen3_tts import (
+        TINY_TTS_DIMS,
+        code_decoder_forward,
+        init_code_kv_cache,
+        init_tts_params,
+    )
+    from whisperkit_tpu.ops.quant import quantize_tts_params, quantized_size_bytes
+    from whisperkit_tpu.pipelines.tts import GenerationOptions, TTSPipeline
+
+    dims = TINY_TTS_DIMS
+    params = init_tts_params(jax.random.PRNGKey(0), dims, dtype=jnp.float32)
+    q4 = quantize_tts_params(params, min_size=1, bits=4)
+    q8 = quantize_tts_params(params, min_size=1)
+    assert quantized_size_bytes(q4) < quantized_size_bytes(q8)
+    assert q4["blocks"]["wq"]["w_q4"].dtype == jnp.int4
+
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 4, dims.d_model)) * 0.1
+    kv = init_code_kv_cache(dims, 2, 16)
+    ref_logits, _, _ = code_decoder_forward(params, embeds, 0, *kv, dims)
+    q_logits, _, _ = code_decoder_forward(q4, embeds, 0, *kv, dims)
+    ref, q = np.asarray(ref_logits), np.asarray(q_logits)
+    scale = np.abs(ref).max() or 1.0
+    # int4 RTN on random-init weights: ~16x the int8 step (docs in
+    # test_w4_decoder_logits_track_bf16); bound generously but non-trivially
+    assert np.abs(q - ref).max() / scale < 0.60
+    assert np.abs(q - ref).max() / scale > 1e-5
+
+    pipe = TTSPipeline(quantize="w4a16")
+    res = pipe.generate("four bit hello", GenerationOptions(max_new_tokens=6, seed=2))
+    assert res.audio.size > 0 and np.isfinite(res.audio).all()

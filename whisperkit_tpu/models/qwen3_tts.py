@@ -384,11 +384,17 @@ def _rope(x, positions, theta):
 
 
 def _mm(x, w):
-    """x @ w, dispatching on W8A16 dicts ({"w_q" int8, "scale"}) — the
-    dequant broadcasts on the trailing axes and XLA fuses it into the
-    matmul's operand read, so only int8 bytes cross HBM (ops/quant.py;
-    reference ships W8A16 TTS components, Qwen3Config.swift:106-112)."""
-    if isinstance(w, dict) and "w_q" in w:
+    """x @ w, dispatching on W8A16 ({"w_q" int8, "scale"}) and W4A16
+    ({"w_q4" int4, "scale4"}) dicts — the dequant broadcasts on the
+    trailing axes and XLA fuses it into the matmul's operand read, so only
+    int8/packed-int4 bytes cross HBM (ops/quant.py; reference ships W8A16
+    TTS components, Qwen3Config.swift:106-112, and 4-bit palettized model
+    folders, fastlane/Fastfile:26-55)."""
+    if isinstance(w, dict) and "w_q4" in w:
+        from whisperkit_tpu.ops.quant import w4_dequant
+
+        w = w4_dequant(w, x.dtype)
+    elif isinstance(w, dict) and "w_q" in w:
         w = w["w_q"].astype(x.dtype) * w["scale"].astype(x.dtype)
     return x @ w
 
@@ -668,7 +674,11 @@ def multicode_forward(
     def head_step(carry, xs):
         last, kv_k, kv_v, key, csum, i = carry
         head_i, embed_i = xs
-        if isinstance(head_i, dict):  # W8A16: dequant this head's slice
+        if isinstance(head_i, dict) and "w_q4" in head_i:  # W4A16 head
+            from whisperkit_tpu.ops.quant import w4_dequant
+
+            w_i = w4_dequant(head_i, last.dtype)
+        elif isinstance(head_i, dict):  # W8A16: dequant this head's slice
             w_i = head_i["w_q"].astype(last.dtype) * head_i["scale"].astype(last.dtype)
         else:
             w_i = head_i

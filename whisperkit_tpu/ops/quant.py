@@ -85,10 +85,15 @@ def _scale4_full(q: dict, dtype) -> jnp.ndarray:
     ).reshape(din, dout)
 
 
+def w4_dequant(q: dict, dtype) -> jnp.ndarray:
+    """Dequantize a 2D {"w_q4","scale4"} dict to `dtype` — an elementwise
+    convert × broadcast-scale chain that XLA fuses into whatever consumes
+    it (matmul operand reads on the hot paths)."""
+    return q["w_q4"].astype(dtype) * _scale4_full(q, dtype)
+
+
 def dequantize_weight_w4(q: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return (
-        q["w_q4"].astype(jnp.float32) * _scale4_full(q, jnp.float32)
-    ).astype(dtype)
+    return w4_dequant(q, jnp.float32).astype(dtype)
 
 
 def quantized_matmul_w4(x: jnp.ndarray, q: dict) -> jnp.ndarray:
@@ -96,8 +101,7 @@ def quantized_matmul_w4(x: jnp.ndarray, q: dict) -> jnp.ndarray:
     scales cross HBM; the convert/scale chain fuses into the dot's operand
     read. Kept as a plain 2D dot (not a grouped einsum) so Megatron row/
     column sharding of w_q4 partitions exactly like the bf16/W8A16 paths."""
-    w = q["w_q4"].astype(x.dtype) * _scale4_full(q, x.dtype)
-    return jnp.dot(x, w)
+    return jnp.dot(x, w4_dequant(q, x.dtype))
 
 
 # param-dict keys that hold LINEAR weights ([in, out] or stacked
@@ -160,19 +164,25 @@ def quantized_size_bytes(params: PyTree) -> int:
 _TTS_BLOCK_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_tts_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
-    """W8A16-quantize a Qwen3-TTS param tree: every transformer linear of
-    the backbone AND the code predictor (stacked per layer), the code0
-    head, and the 15 RVQ lm heads. Embeddings, norms, and the Code2Wav
-    conv stack stay full precision."""
+def quantize_tts_params(
+    params: PyTree, min_size: int = 1 << 16, bits: int = 8
+) -> PyTree:
+    """W8A16- (or, with bits=4, W4A16-) quantize a Qwen3-TTS param tree:
+    every transformer linear of the backbone AND the code predictor
+    (stacked per layer), the code0 head, and the 15 RVQ lm heads.
+    Embeddings, norms, and the Code2Wav conv stack stay full precision.
+    The code predictor is pure weight bandwidth (16 micro-steps ×
+    weight-read per frame, docs/BENCHMARKS.md) — exactly the regime where
+    4-bit weights pay."""
+    assert bits in (8, 4), bits
+    qfn = quantize_weight if bits == 8 else quantize_weight_w4
 
     def quantize_stacked(blocks: dict) -> dict:
         blocks = dict(blocks)
         for key in _TTS_BLOCK_KEYS:
             w = blocks.get(key)  # [L, in, out]
             if w is not None and hasattr(w, "size") and w.size >= min_size:
-                q = jax.vmap(quantize_weight)(w)
-                blocks[key] = {"w_q": q["w_q"], "scale": q["scale"]}
+                blocks[key] = jax.vmap(qfn)(w)
         return blocks
 
     out = dict(params)
@@ -180,14 +190,13 @@ def quantize_tts_params(params: PyTree, min_size: int = 1 << 16) -> PyTree:
 
     head = params["code0_head"]
     if hasattr(head, "size") and head.size >= min_size:
-        out["code0_head"] = quantize_weight(head)
+        out["code0_head"] = qfn(head)
 
     mc = dict(params["mc"])
     mc["blocks"] = quantize_stacked(mc["blocks"])
     mh = mc["heads"]  # [15, D, V]
     if hasattr(mh, "size") and mh.size >= min_size:
-        q = jax.vmap(quantize_weight)(mh)
-        mc["heads"] = {"w_q": q["w_q"], "scale": q["scale"]}
+        mc["heads"] = jax.vmap(qfn)(mh)
     out["mc"] = mc
     return out
 

@@ -232,7 +232,7 @@ class TTSPipeline:
         params=None,
         tokenizer=None,
         seed: int = 0,
-        quantize: bool = False,
+        quantize: Union[bool, str] = False,
     ):
         self.dims = dims
         self.params = (
@@ -241,11 +241,14 @@ class TTSPipeline:
             else init_tts_params(jax.random.PRNGKey(seed), dims)
         )
         if quantize:
-            # W8A16 (reference ships quantized TTS components,
-            # Qwen3Config.swift:106-112)
+            # quantize=True/"w8a16" → W8A16 (reference ships quantized TTS
+            # components, Qwen3Config.swift:106-112); "w4a16" → group-wise
+            # int4 (the 4-bit palettized-variant analog, ops/quant.py)
             from whisperkit_tpu.ops.quant import quantize_tts_params
 
-            self.params = quantize_tts_params(self.params)
+            self.params = quantize_tts_params(
+                self.params, bits=4 if quantize == "w4a16" else 8
+            )
         self.tokenizer = tokenizer or ByteFallbackTokenizer(dims.text_vocab)
         self.prompt_cache = TTSPromptCache()
         self.chunker = TextChunker()
