@@ -249,3 +249,61 @@ def test_converted_checkpoint_cache(torch_whisper):
         np.asarray(params2["decoder"]["token_embed"], np.float32),
         np.asarray(params["decoder"]["token_embed"], np.float32),
     )
+
+
+def test_quantized_checkpoint_cache(torch_whisper):
+    """load_whisper(quantization=...) returns a quantized tree, persists the
+    quantized_<scheme>.orbax cache, and a second load restores it exactly
+    (the reference's pre-quantized compressed-folder analog)."""
+    _, folder = torch_whisper
+    from whisperkit_tpu.models.loader import load_quantized
+
+    for scheme, marker in (("w8a16", "w_q"), ("w4a16", "w_q4")):
+        dims, params, _ = load_whisper(folder, quantization=scheme)
+        # tiny model is below the default min_size gate for most linears,
+        # but the cache mechanics must still round-trip the tree exactly
+        cached = load_quantized(folder, scheme)
+        assert cached is not None, scheme
+        dims2, params2 = cached
+        assert dims2 == dims
+        leaves = jax.tree.leaves(params)
+        leaves2 = jax.tree.leaves(params2)
+        assert len(leaves) == len(leaves2)
+        for a, b in zip(leaves, leaves2):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32)
+            )
+
+
+def test_load_whisper_rejects_unknown_scheme(torch_whisper):
+    _, folder = torch_whisper
+    with pytest.raises(ValueError, match="unknown quantization scheme"):
+        load_whisper(folder, quantization="w2a16")
+
+
+def test_quantized_cache_roundtrips_int4_leaves(tmp_path):
+    """int4 leaves must survive the Orbax save/restore (S4 is byte-backed
+    on host): use dims large enough to cross the min_size gate."""
+    import torch
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    cfg = dict(TINY_CFG, d_model=256, encoder_ffn_dim=1024, decoder_ffn_dim=1024)
+    torch.manual_seed(1)
+    WhisperForConditionalGeneration(WhisperConfig(**cfg)).save_pretrained(
+        tmp_path, safe_serialization=True
+    )
+    dims, params, _ = load_whisper(tmp_path, quantization="w4a16")
+    fc1 = params["encoder"]["blocks"]["fc1"]
+    assert "w_q4" in fc1 and fc1["w_q4"].dtype == jnp.int4
+    from whisperkit_tpu.models.loader import load_quantized
+
+    _, params2 = load_quantized(tmp_path, "w4a16")
+    fc1b = params2["encoder"]["blocks"]["fc1"]
+    assert fc1b["w_q4"].dtype == jnp.int4
+    np.testing.assert_array_equal(
+        np.asarray(fc1["w_q4"], np.int8), np.asarray(fc1b["w_q4"], np.int8)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fc1["scale4"], np.float32),
+        np.asarray(fc1b["scale4"], np.float32),
+    )

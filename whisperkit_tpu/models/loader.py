@@ -52,21 +52,37 @@ def _read_safetensors(folder: Path) -> dict[str, np.ndarray]:
 
 
 def load_whisper(
-    folder: Union[str, Path], dtype=jnp.bfloat16
+    folder: Union[str, Path], dtype=jnp.bfloat16, quantization: Optional[str] = None
 ) -> tuple[WhisperDims, dict, Optional[np.ndarray]]:
     """Load a HF-format Whisper checkpoint.
 
     Returns (dims, params, alignment_heads or None). alignment_heads is an
     [A, 2] int array of (decoder_layer, head) pairs from
     generation_config.json when present (used for word-timestamp DTW).
+
+    quantization ("w8a16"/"w4a16") returns the quantized tree — from the
+    on-disk quantized cache when present (skipping both the safetensors
+    parse and the quantize pass — the analog of the reference's
+    pre-quantized model folders), else quantizing now and writing the
+    cache best-effort.
     """
+    if quantization not in (None, "w8a16", "w4a16"):
+        raise ValueError(f"unknown quantization scheme: {quantization!r}")
     folder = Path(folder)
     cached = None
-    if dtype == jnp.bfloat16:  # converted cache is stored in bf16
+    if quantization is not None:
+        try:
+            cached = load_quantized(folder, quantization)
+        except Exception as e:
+            logging.debug(f"quantized-cache load failed ({e}); requantizing")
+    if cached is None and dtype == jnp.bfloat16:  # converted cache is bf16
         try:
             cached = load_converted(folder)
         except Exception as e:
             logging.debug(f"converted-cache load failed ({e}); parsing safetensors")
+        if cached is not None and quantization is not None:
+            dims, params = cached
+            cached = dims, _quantize_and_cache(folder, dims, params, quantization)
     if cached is not None:
         dims, params = cached
     else:
@@ -80,6 +96,8 @@ def load_whisper(
                 save_converted(folder, dims, params)
             except Exception as e:  # read-only folder etc.
                 logging.debug(f"converted-cache save skipped: {e}")
+        if quantization is not None:
+            params = _quantize_and_cache(folder, dims, params, quantization)
 
     alignment_heads = None
     gen_cfg_path = folder / "generation_config.json"
@@ -93,6 +111,22 @@ def load_whisper(
         f"{dims.n_audio_layer}/{dims.n_text_layer} vocab={dims.n_vocab}"
     )
     return dims, params, alignment_heads
+
+
+def _quantize_and_cache(
+    folder: Path, dims: WhisperDims, params, scheme: str
+):
+    """Quantize a bf16 tree for `scheme` and persist it best-effort."""
+    from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+    qparams = quantize_whisper_params(
+        params, bits=4 if scheme == "w4a16" else 8
+    )
+    try:
+        save_quantized(folder, dims, qparams, scheme)
+    except Exception as e:  # read-only folder etc.
+        logging.debug(f"quantized-cache save skipped: {e}")
+    return qparams
 
 
 def convert_hf_state_dict(
@@ -217,6 +251,60 @@ def save_converted(folder: Union[str, Path], dims: WhisperDims, params) -> Path:
     with open(folder / "converted_dims.json", "w") as f:
         json.dump(dataclasses.asdict(dims), f)
     return ckpt
+
+
+def save_quantized(
+    folder: Union[str, Path], dims: WhisperDims, qparams, scheme: str
+) -> Path:
+    """Persist a quantized param tree (`quantized_<scheme>.orbax`) next to
+    the checkpoint, so later quantized loads skip the safetensors parse AND
+    the quantize pass.
+
+    Reference behavior: the reference ships its compressed variants as
+    separate pre-quantized model folders (fastlane/Fastfile:26-55,
+    produced offline by whisperkittools); here the compressed form is a
+    sibling cache keyed by scheme, created transparently on first use."""
+    import orbax.checkpoint as ocp
+
+    folder = Path(folder).resolve()
+    ckpt = folder / f"quantized_{scheme}.orbax"
+    with ocp.StandardCheckpointer() as saver:
+        saver.save(ckpt, qparams, force=True)
+    with open(folder / f"quantized_{scheme}_dims.json", "w") as f:
+        import dataclasses
+
+        json.dump(dataclasses.asdict(dims), f)
+    return ckpt
+
+
+def load_quantized(
+    folder: Union[str, Path], scheme: str
+) -> Optional[tuple[WhisperDims, dict]]:
+    """Load a previously saved quantized tree for `scheme`, or None.
+
+    The Orbax restore needs an abstract target tree: it is derived by
+    eval_shape-ing the quantize pass over the abstract bf16 tree — no
+    weights are allocated to compute it."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+    folder = Path(folder).resolve()
+    ckpt = folder / f"quantized_{scheme}.orbax"
+    dims_path = folder / f"quantized_{scheme}_dims.json"
+    if not (ckpt.exists() and dims_path.exists()):
+        return None
+    with open(dims_path) as f:
+        dims = WhisperDims(**json.load(f))
+    bits = 4 if scheme == "w4a16" else 8
+    abstract = jax.eval_shape(
+        lambda p: quantize_whisper_params(p, bits=bits),
+        init_params_abstract(dims),
+    )
+    with ocp.StandardCheckpointer() as loader:
+        params = loader.restore(ckpt, abstract)
+    return dims, params
 
 
 def load_converted(folder: Union[str, Path]) -> Optional[tuple[WhisperDims, dict]]:

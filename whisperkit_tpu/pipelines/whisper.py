@@ -156,14 +156,12 @@ class WhisperPipeline:
             model_folder=self.config.model_folder,
             download=self.config.download,
         )
-        self.dims, self.params, heads = load_whisper(folder)
-        if self.config.compute_options.quantization in ("w8a16", "w4a16"):
-            from whisperkit_tpu.ops.quant import quantize_whisper_params
-
-            self.params = quantize_whisper_params(
-                self.params,
-                bits=4 if self.config.compute_options.quantization == "w4a16" else 8,
-            )
+        # quantization rides the loader: a pre-quantized on-disk cache (the
+        # reference's compressed-model-folder analog) short-circuits both
+        # the safetensors parse and the quantize pass (models/loader.py)
+        self.dims, self.params, heads = load_whisper(
+            folder, quantization=self.config.compute_options.quantization
+        )
         if self.alignment_heads is None:
             self.alignment_heads = heads
         try:
