@@ -115,7 +115,8 @@ def main() -> None:
         )
 
     def run_pipeline(
-        variant_name: str, group: int, int8_kv: bool = False, w8a16: bool = False
+        variant_name: str, group: int, int8_kv: bool = False, w8a16: bool = False,
+        w4a16: bool = False,
     ):
         """→ (rtf, n_segments, decode_loops, windows); frees the pipeline's
         device buffers before returning so runs don't contend for HBM."""
@@ -123,10 +124,10 @@ def main() -> None:
 
         dims_v = VARIANT_DIMS[variant_name]
         params_v = init_params(jax.random.PRNGKey(0), dims_v)
-        if w8a16:  # the reference ships quantized variants as first-class
+        if w8a16 or w4a16:  # the reference ships quantized variants first-class
             from whisperkit_tpu.ops.quant import quantize_whisper_params
 
-            params_v = quantize_whisper_params(params_v)
+            params_v = quantize_whisper_params(params_v, bits=4 if w4a16 else 8)
         pipe = WhisperPipeline(
             WhisperConfig(
                 compute_options=(
@@ -186,14 +187,21 @@ def main() -> None:
     sp = special_tokens_for_vocab(dims.n_vocab)
     params = init_params(jax.random.PRNGKey(0), dims)
 
-    # ---- secondaries: bf16 continuity config + W8A16 + turbo ---------------
-    turbo_rtf = bf16_rtf = quant_rtf = None
+    # ---- secondaries: bf16 continuity config + W8A16 + W4A16 + turbo -------
+    turbo_rtf = bf16_rtf = quant_rtf = w4_rtf = None
     if on_tpu:
         bf16_rtf, _, _, _ = run_pipeline(variant, 16)
         # W8A16 at b=32 (r4): the r3 OOM was the bf16 cross-KV peak, not
         # the hoisted dequants — with the fused per-layer int8 cross-KV it
         # fits (probe: 0.00591/0.00617, tools/probe_w8a16_b32.py)
         quant_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True, w8a16=True)
+        try:
+            # W4A16 (r6, 4-bit palettized-variant analog): first measured by
+            # the round-end bench run — guarded so a compile/OOM surprise on
+            # a brand-new config cannot take down the headline output
+            w4_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True, w4a16=True)
+        except Exception:
+            w4_rtf = None
         turbo_rtf, _, _, _ = run_pipeline("large-v3-turbo", 32)
 
     # ---- secondary: serving under concurrent load (VERDICT r2 #2) ----------
@@ -303,6 +311,10 @@ def main() -> None:
     if quant_rtf is not None:
         secondary[f"pipeline_rtf_{variant}_w8a16_int8kv_vad_{int(audio_minutes)}min"] = round(
             quant_rtf, 5
+        )
+    if w4_rtf is not None:
+        secondary[f"pipeline_rtf_{variant}_w4a16_int8kv_vad_{int(audio_minutes)}min"] = round(
+            w4_rtf, 5
         )
     metric = (
         f"pipeline_rtf_{variant}_serving_int8kv_b32_vad_{int(audio_minutes)}min"

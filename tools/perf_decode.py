@@ -46,6 +46,12 @@ def main() -> None:
         "ladder; attribution table suppressed unless base is included)",
     )
     ap.add_argument(
+        "--quant", choices=["w8a16", "w4a16"], default=None,
+        help="weight-quantize the model before measuring (composes with "
+        "--serving / the int8 KV rows — e.g. --quant w4a16 --serving "
+        "--only base is the fully-compressed serving candidate)",
+    )
+    ap.add_argument(
         "--serving", action="store_true",
         help="serving-preset mode: int8 cross-KV ONLY via the fused "
         "per-layer encode (whole-batch bf16 K/V never materializes — the "
@@ -71,6 +77,12 @@ def main() -> None:
     dims = VARIANT_DIMS[variant]
     sp = special_tokens_for_vocab(dims.n_vocab)
     params = init_params(jax.random.PRNGKey(0), dims)
+    if args.quant:
+        from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+        params = quantize_whisper_params(
+            params, bits=4 if args.quant == "w4a16" else 8
+        )
 
     audio = jax.random.normal(jax.random.PRNGKey(1), (batch, 480_000)) * 0.1
     mel = log_mel_spectrogram(audio, n_mels=dims.n_mels)

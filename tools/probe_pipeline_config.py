@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--group", type=int, default=32)
     ap.add_argument("--minutes", type=float, default=12.0)
     ap.add_argument("--w8a16", action="store_true")
+    ap.add_argument("--w4a16", action="store_true")
     ap.add_argument("--self-kv", dest="self_kv", action="store_true")
     ap.add_argument(
         "--no-cross-kv", dest="cross_kv", action="store_false",
@@ -56,10 +57,10 @@ def main() -> None:
     audio = synth_speechlike_audio(args.minutes * 60.0)
     dims = VARIANT_DIMS[args.variant]
     params = init_params(jax.random.PRNGKey(0), dims)
-    if args.w8a16:
+    if args.w8a16 or args.w4a16:
         from whisperkit_tpu.ops.quant import quantize_whisper_params
 
-        params = quantize_whisper_params(params)
+        params = quantize_whisper_params(params, bits=4 if args.w4a16 else 8)
     compute = ComputeOptions(
         quantize_cross_kv=args.cross_kv, quantize_self_kv=args.self_kv
     )
@@ -82,7 +83,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "probe_pipeline_rtf",
         "variant": args.variant, "group": args.group,
-        "w8a16": args.w8a16, "cross_kv_int8": args.cross_kv,
+        "w8a16": args.w8a16, "w4a16": args.w4a16,
+        "cross_kv_int8": args.cross_kv,
         "self_kv_int8": args.self_kv,
         "rtfs": [round(r, 5) for r in rtfs],
         "best": round(min(rtfs), 5),
