@@ -540,3 +540,45 @@ def test_tts_w4_quantization_pipeline():
     pipe = TTSPipeline(quantize="w4a16")
     res = pipe.generate("four bit hello", GenerationOptions(max_new_tokens=6, seed=2))
     assert res.audio.size > 0 and np.isfinite(res.audio).all()
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_pipeline_fully_quantized_serving_candidate(bits):
+    """Weight quantization (W8A16/W4A16) composed with BOTH int8 KV caches
+    — the fully-compressed serving candidates bench.py measures — must
+    transcribe end to end through the VAD batch path."""
+    import jax
+
+    from whisperkit_tpu.core.configurations import (
+        ComputeOptions,
+        DecodingOptions,
+        WhisperConfig,
+    )
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    params = quantize_whisper_params(
+        init_params(jax.random.PRNGKey(0), dims), min_size=1, bits=bits
+    )
+    pipe = WhisperPipeline(
+        WhisperConfig(
+            compute_options=ComputeOptions(
+                quantize_cross_kv=True, quantize_self_kv=True
+            )
+        ),
+        dims=dims,
+        params=params,
+    )
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000 * 35) * 0.1).astype(np.float32)
+    res = pipe.transcribe(
+        audio,
+        DecodingOptions(
+            language="en", sample_length=6, chunking_strategy="vad",
+            temperature_fallback_count=0, logprob_threshold=None,
+            compression_ratio_threshold=None, no_speech_threshold=None,
+            first_token_log_prob_threshold=None, concurrent_worker_count=4,
+        ),
+    )
+    assert res.segments and all(s.end >= s.start for s in res.segments)
