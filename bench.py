@@ -27,6 +27,7 @@ bf16 b=16 (r2/r3 continuity), W8A16+int8-KV, and turbo as secondaries;
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -54,6 +55,51 @@ def synth_speechlike_audio(seconds: float, seed: int = 0) -> np.ndarray:
     return (out / peak * 0.5).astype(np.float32)
 
 
+def pipeline_options(group: int):
+    """THE headline decode options (VAD chunking, rules on, full 224-token
+    budget, fallback ladder off for random-init honesty). Module-scope so
+    probes (tools/probe_pipeline_config.py) measure under the exact same
+    recipe as the bench headline — a hand-copied block would silently
+    diverge when this changes."""
+    from whisperkit_tpu.core.configurations import DecodingOptions
+
+    return DecodingOptions(
+        language="en",
+        chunking_strategy="vad",
+        sample_length=224,
+        without_timestamps=False,  # timestamp-rules filter ON
+        # random-init text always trips quality thresholds; disable the
+        # fallback ladder so the bench measures one honest decode per
+        # window
+        temperature_fallback_count=0,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        no_speech_threshold=None,
+        # random-init first-token logprob (~ -10) would trip the -1.5
+        # floor and end every window at one token; disable so windows
+        # decode the full budget
+        first_token_log_prob_threshold=None,
+        concurrent_worker_count=group,
+    )
+
+
+def measure_tunnel_dispatch_ms() -> float:
+    """Median host→chip dispatch RTT (CLAUDE.md: drifts 5-35 ms across
+    sessions and inflates every host-driven pipeline number — record it
+    with any RTF you intend to believe)."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda a: a.sum())
+    np.asarray(probe(jnp.ones((8, 8))))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(probe(jnp.ones((8, 8))))
+        rtts.append(time.perf_counter() - t0)
+    return round(float(np.median(rtts)) * 1e3, 1)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -62,7 +108,6 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    from whisperkit_tpu.core.configurations import DecodingOptions
     from whisperkit_tpu.decoding.loop import DecodeScalars, decode_loop, encode_window
     from whisperkit_tpu.models.whisper import VARIANT_DIMS, init_params
     from whisperkit_tpu.pipelines.whisper import WhisperPipeline
@@ -75,14 +120,7 @@ def main() -> None:
     # RTT varies ~5-35 ms across sessions and inflates every host-driven
     # pipeline number (on-graph compute — the micro secondary — is
     # unaffected). Recording it makes each run's numbers interpretable.
-    probe = jax.jit(lambda a: a.sum())
-    np.asarray(probe(jnp.ones((8, 8))))
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(probe(jnp.ones((8, 8))))
-        rtts.append(time.perf_counter() - t0)
-    tunnel_dispatch_ms = round(float(np.median(rtts)) * 1e3, 1)
+    tunnel_dispatch_ms = measure_tunnel_dispatch_ms()
     # transport warmup: the first large transfer after idle can stall for
     # minutes (r4: one 29 MB upload took 310 s, subsequent ones 0.8 s);
     # push one untimed audio-sized upload so timed runs see a warm path
@@ -93,26 +131,6 @@ def main() -> None:
     variant = "large-v3" if on_tpu else "tiny"
     audio_minutes = 12.0 if on_tpu else 1.0
     audio = synth_speechlike_audio(audio_minutes * 60.0)
-
-    def pipeline_options(group: int) -> DecodingOptions:
-        return DecodingOptions(
-            language="en",
-            chunking_strategy="vad",
-            sample_length=224,
-            without_timestamps=False,  # timestamp-rules filter ON
-            # random-init text always trips quality thresholds; disable the
-            # fallback ladder so the bench measures one honest decode per
-            # window
-            temperature_fallback_count=0,
-            logprob_threshold=None,
-            compression_ratio_threshold=None,
-            no_speech_threshold=None,
-            # random-init first-token logprob (~ -10) would trip the -1.5
-            # floor and end every window at one token; disable so windows
-            # decode the full budget
-            first_token_log_prob_threshold=None,
-            concurrent_worker_count=group,
-        )
 
     def run_pipeline(
         variant_name: str, group: int, int8_kv: bool = False, w8a16: bool = False,
@@ -201,6 +219,11 @@ def main() -> None:
             # a brand-new config cannot take down the headline output
             w4_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True, w4a16=True)
         except Exception:
+            import traceback
+
+            # keep the one-JSON-line stdout contract; preserve the diagnosis
+            print("w4a16 secondary failed:", file=sys.stderr)
+            traceback.print_exc()
             w4_rtf = None
         turbo_rtf, _, _, _ = run_pipeline("large-v3-turbo", 32)
 
@@ -284,14 +307,9 @@ def main() -> None:
     micro_rtf = (time.perf_counter() - t0) / n_iter / (batch * 30.0)
 
     baseline_rtf = 0.01  # BASELINE.md north-star target
-    rtts_end = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(probe(jnp.ones((8, 8))))
-        rtts_end.append(time.perf_counter() - t0)
     secondary = {
         "tunnel_dispatch_ms": tunnel_dispatch_ms,
-        "tunnel_dispatch_ms_end": round(float(np.median(rtts_end)) * 1e3, 1),
+        "tunnel_dispatch_ms_end": measure_tunnel_dispatch_ms(),
         "headline_runs": [round(r, 5) for r in headline_runs],
         f"micro_rtf_32tok_b{batch}": round(micro_rtf, 5),
         "segments": n_segments,

@@ -1,12 +1,17 @@
-"""Generic one-shot pipeline-config probe: RTF of the REAL pipeline
-(VAD-chunked, rules on, 224-token budget, 12 min audio) for an arbitrary
-combination of the quantization/serving knobs, so candidate configs can be
-A/B'd on the chip without editing bench.py.
+"""Generic one-shot pipeline-config probe: RTF of the REAL pipeline under
+EXACTLY the bench headline recipe (bench.pipeline_options — VAD-chunked,
+rules on, 224-token budget, 12 min audio) for an arbitrary combination of
+the quantization/serving knobs, so candidate configs can be A/B'd on the
+chip without editing bench.py.
 
 Examples:
   python tools/probe_pipeline_config.py --self-kv              # serving + int8 self-KV
-  python tools/probe_pipeline_config.py --w8a16 --self-kv      # fully-quantized candidate
+  python tools/probe_pipeline_config.py --quant w4a16          # 4-bit weights candidate
   python tools/probe_pipeline_config.py --no-cross-kv --group 16  # plain bf16 b=16
+
+Every run records tunnel_dispatch_ms at both ends (CLAUDE.md: the tunnel
+RTT drifts 5-35 ms across sessions and can fake a 2× pipeline-RTF
+regression — never accept/reject a config without it).
 
 Reference hot path: TextDecoder.swift:573-757 (decode loop) — this probe
 measures the whole `WhisperPipeline.transcribe` wrapping it.
@@ -28,8 +33,8 @@ def main() -> None:
     ap.add_argument("--variant", default="large-v3")
     ap.add_argument("--group", type=int, default=32)
     ap.add_argument("--minutes", type=float, default=12.0)
-    ap.add_argument("--w8a16", action="store_true")
-    ap.add_argument("--w4a16", action="store_true")
+    ap.add_argument("--quant", choices=["w8a16", "w4a16"], default=None,
+                    help="weight-quantize the model before measuring")
     ap.add_argument("--self-kv", dest="self_kv", action="store_true")
     ap.add_argument(
         "--no-cross-kv", dest="cross_kv", action="store_false",
@@ -45,35 +50,32 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    from bench import synth_speechlike_audio
-    from whisperkit_tpu.core.configurations import (
-        ComputeOptions,
-        DecodingOptions,
-        WhisperConfig,
+    from bench import (
+        measure_tunnel_dispatch_ms,
+        pipeline_options,
+        synth_speechlike_audio,
     )
+    from whisperkit_tpu.core.configurations import ComputeOptions, WhisperConfig
     from whisperkit_tpu.models.whisper import VARIANT_DIMS, init_params
     from whisperkit_tpu.pipelines.whisper import WhisperPipeline
 
+    rtt_start = measure_tunnel_dispatch_ms()
     audio = synth_speechlike_audio(args.minutes * 60.0)
     dims = VARIANT_DIMS[args.variant]
     params = init_params(jax.random.PRNGKey(0), dims)
-    if args.w8a16 or args.w4a16:
+    if args.quant:
         from whisperkit_tpu.ops.quant import quantize_whisper_params
 
-        params = quantize_whisper_params(params, bits=4 if args.w4a16 else 8)
+        params = quantize_whisper_params(
+            params, bits=4 if args.quant == "w4a16" else 8
+        )
     compute = ComputeOptions(
         quantize_cross_kv=args.cross_kv, quantize_self_kv=args.self_kv
     )
     pipe = WhisperPipeline(
         WhisperConfig(compute_options=compute), dims=dims, params=params
     )
-    options = DecodingOptions(
-        language="en", chunking_strategy="vad", sample_length=224,
-        temperature_fallback_count=0, logprob_threshold=None,
-        compression_ratio_threshold=None, no_speech_threshold=None,
-        first_token_log_prob_threshold=None,
-        concurrent_worker_count=args.group,
-    )
+    options = pipeline_options(args.group)  # the bench headline recipe
     pipe.transcribe(audio, options)  # compile on the full audio (CLAUDE.md)
     rtfs = []
     for _ in range(args.passes):
@@ -83,11 +85,12 @@ def main() -> None:
     print(json.dumps({
         "metric": "probe_pipeline_rtf",
         "variant": args.variant, "group": args.group,
-        "w8a16": args.w8a16, "w4a16": args.w4a16,
-        "cross_kv_int8": args.cross_kv,
+        "quant": args.quant, "cross_kv_int8": args.cross_kv,
         "self_kv_int8": args.self_kv,
         "rtfs": [round(r, 5) for r in rtfs],
         "best": round(min(rtfs), 5),
+        "tunnel_dispatch_ms": rtt_start,
+        "tunnel_dispatch_ms_end": measure_tunnel_dispatch_ms(),
     }))
 
 

@@ -70,12 +70,16 @@ def load_whisper(
         raise ValueError(f"unknown quantization scheme: {quantization!r}")
     folder = Path(folder)
     cached = None
-    if quantization is not None:
+    # both on-disk caches store bf16-based trees: a non-default dtype
+    # (f32 parity paths) must bypass them entirely, or the unquantized
+    # leaves' dtype would depend on whether a cache file happens to exist
+    use_cache = dtype == jnp.bfloat16
+    if quantization is not None and use_cache:
         try:
             cached = load_quantized(folder, quantization)
         except Exception as e:
             logging.debug(f"quantized-cache load failed ({e}); requantizing")
-    if cached is None and dtype == jnp.bfloat16:  # converted cache is bf16
+    if cached is None and use_cache:
         try:
             cached = load_converted(folder)
         except Exception as e:
@@ -91,13 +95,20 @@ def load_whisper(
         dims = dims_from_hf_config(cfg)
         tensors = _read_safetensors(folder)
         params = convert_hf_state_dict(tensors, dims, dtype)
-        if dtype == jnp.bfloat16:
+        if use_cache:
             try:
                 save_converted(folder, dims, params)
             except Exception as e:  # read-only folder etc.
                 logging.debug(f"converted-cache save skipped: {e}")
         if quantization is not None:
-            params = _quantize_and_cache(folder, dims, params, quantization)
+            if use_cache:
+                params = _quantize_and_cache(folder, dims, params, quantization)
+            else:
+                from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+                params = quantize_whisper_params(
+                    params, bits=4 if quantization == "w4a16" else 8
+                )
 
     alignment_heads = None
     gen_cfg_path = folder / "generation_config.json"

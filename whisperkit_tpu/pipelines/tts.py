@@ -244,6 +244,8 @@ class TTSPipeline:
             # quantize=True/"w8a16" → W8A16 (reference ships quantized TTS
             # components, Qwen3Config.swift:106-112); "w4a16" → group-wise
             # int4 (the 4-bit palettized-variant analog, ops/quant.py)
+            if quantize not in (True, "w8a16", "w4a16"):
+                raise ValueError(f"unknown quantization scheme: {quantize!r}")
             from whisperkit_tpu.ops.quant import quantize_tts_params
 
             self.params = quantize_tts_params(
