@@ -32,7 +32,12 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--quantize", action="store_true", help="W8A16 weights")
+    ap.add_argument(
+        "--quantize", nargs="?", const="w8a16", default=None,
+        choices=["w8a16", "w4a16"],
+        help="weight quantization (bare flag = w8a16; w4a16 = group-64 "
+        "int4, the 4-bit palettized-variant analog)",
+    )
     ap.add_argument(
         "--variant", default="0.6b",
         help="0.6b | 1.7b (the instruction-tuned config's dims: d2048/28L, "
@@ -67,7 +72,9 @@ def main() -> None:
     if args.quantize:
         from whisperkit_tpu.ops.quant import quantize_tts_params
 
-        params = quantize_tts_params(params)
+        params = quantize_tts_params(
+            params, bits=4 if args.quantize == "w4a16" else 8
+        )
 
     embeds = (
         jax.random.normal(jax.random.PRNGKey(1), (b, 24, dims.d_model)) * 0.02
@@ -115,7 +122,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"tts_{args.variant}_real_stack"
-                + ("_w8a16" if args.quantize else ""),
+                + (f"_{args.quantize}" if args.quantize else ""),
                 "batch": b,
                 "frames": frames,
                 "ar_ms_per_frame": round(ms_per_frame, 3),
