@@ -381,3 +381,45 @@ def test_server_translations_task_reflected_and_rate_limit(tmp_path):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_device_probe_ok_and_timeout(monkeypatch):
+    """probe_backend: succeeds against this host's CPU backend; reports a
+    timeout (not a hang) when backend init stalls — the failure mode of an
+    unreachable remote accelerator."""
+    from whisperkit_tpu.core import device_probe
+
+    # force the child to the CPU platform (the env's sitecustomize would
+    # otherwise aim it at a remote TPU whose tunnel may be down)
+    monkeypatch.setattr(
+        device_probe, "_PROBE_CODE",
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "d = jax.devices(); print(d[0].platform, len(d))",
+    )
+    res = device_probe.probe_backend(timeout_s=120)
+    assert res.ok, res.message
+    assert res.message.startswith("cpu")
+
+    monkeypatch.setattr(
+        device_probe, "_PROBE_CODE", "import time; time.sleep(60)"
+    )
+    res = device_probe.probe_backend(timeout_s=1.0)
+    assert not res.ok
+    assert "did not initialize" in res.message
+
+
+def test_cli_serve_fails_fast_on_dead_device(monkeypatch, capsys):
+    """`serve` exits 1 with a clear message instead of hanging when the
+    device probe fails."""
+    from whisperkit_tpu.cli import main as cli_main
+    from whisperkit_tpu.core import device_probe
+
+    monkeypatch.setattr(
+        device_probe, "_PROBE_CODE", "import time; time.sleep(60)"
+    )
+    rc = cli_main.main([
+        "serve", "--model-folder", "/nonexistent",
+        "--device-probe-timeout", "1",
+    ])
+    assert rc == 1
+    assert "device probe failed" in capsys.readouterr().err

@@ -109,6 +109,13 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(v)
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=50060)
+    v.add_argument(
+        "--device-probe-timeout", type=float, default=90.0,
+        help="fail fast if the accelerator backend does not initialize "
+        "within this many seconds (0 disables the probe) — a jax backend "
+        "whose remote device is unreachable otherwise hangs startup for "
+        "~15 min with no diagnostics",
+    )
 
     return parser
 
@@ -333,6 +340,15 @@ def cmd_tts(args) -> int:
 def cmd_serve(args) -> int:
     from whisperkit_tpu.server.openai_api import serve
 
+    if args.device_probe_timeout > 0:
+        # fail fast instead of hanging at the first jax call when the
+        # remote accelerator is unreachable (core/device_probe.py)
+        from whisperkit_tpu.core.device_probe import probe_backend
+
+        res = probe_backend(args.device_probe_timeout)
+        if not res.ok:
+            print(f"device probe failed: {res.message}", file=sys.stderr)
+            return 1
     pipe = _build_pipeline(args)
     serve(pipe, host=args.host, port=args.port)
     return 0
