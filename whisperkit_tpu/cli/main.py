@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replay the file as a live stream with eager word confirmation")
     t.add_argument("--report", action="store_true", help="write report files")
     t.add_argument("--report-path", default=".", help="report output dir")
+    t.add_argument(
+        "--profile-dir", default=None,
+        help="write a jax.profiler device trace for the whole run to this "
+        "directory (xprof/tensorboard-viewable; core/signposts.py)",
+    )
     t.add_argument("--report-format", nargs="*", default=["json"],
                    choices=["json", "srt", "vtt", "txt"])
     t.add_argument("--diarization", action="store_true",
@@ -207,6 +212,24 @@ def cmd_transcribe(args) -> int:
 
     if args.stream_simulated:
         return _stream_simulated(pipe, paths[0], options)
+
+    if args.profile_dir:
+        # device trace around the whole batch (core/signposts.py — the
+        # OSSignposter-interval analog, viewable in xprof/tensorboard)
+        from whisperkit_tpu.core.signposts import start_trace, stop_trace
+
+        start_trace(args.profile_dir)
+        try:
+            return _transcribe_paths(pipe, paths, options, args)
+        finally:
+            stop_trace()
+            print(f"-- profiler trace written to {args.profile_dir}", file=sys.stderr)
+    return _transcribe_paths(pipe, paths, options, args)
+
+
+def _transcribe_paths(pipe, paths, options, args) -> int:
+    from whisperkit_tpu.text.transcription_utils import format_segments
+    from whisperkit_tpu.text.writers import make_writer
 
     rc = 0
     for path in paths:
