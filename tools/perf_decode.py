@@ -46,6 +46,12 @@ def main() -> None:
         "ladder; attribution table suppressed unless base is included)",
     )
     ap.add_argument(
+        "--pallas-cross", action="store_true",
+        help="route T==1 int8 cross-attention through the Pallas one-pass "
+        "kernel (sets WKTPU_PALLAS_CROSS_DECODE=1 before tracing; "
+        "ops/attention_decode.py) — A/B against a separate run without it",
+    )
+    ap.add_argument(
         "--quant", choices=["w8a16", "w4a16"], default=None,
         help="weight-quantize the model before measuring (composes with "
         "--serving / the int8 KV rows — e.g. --quant w4a16 --serving "
@@ -58,6 +64,10 @@ def main() -> None:
         "only way large-v3 b=32 fits); measures the int8 ladder",
     )
     args = ap.parse_args()
+    if args.pallas_cross:
+        import os
+
+        os.environ["WKTPU_PALLAS_CROSS_DECODE"] = "1"
 
     import jax
     import jax.numpy as jnp

@@ -375,6 +375,15 @@ def encoder_forward(
 # ---------------------------------------------------------------------------
 
 
+def _pallas_cross_decode_gate() -> bool:
+    """Opt-in gate for the Pallas T==1 int8 cross-attention kernel
+    (ops/attention_decode.py). Read at TRACE time — A/B runs need separate
+    processes (jit caches don't key on env). Off until measured on-chip."""
+    import os
+
+    return os.environ.get("WKTPU_PALLAS_CROSS_DECODE") == "1"
+
+
 def _cross_attend(cq, ck, cv, capture_probs: bool):
     """Cross-attention over per-window cached K/V.
 
@@ -386,11 +395,25 @@ def _cross_attend(cq, ck, cv, capture_probs: bool):
     turbo shapes: 1.76 → 1.19 ms/step of cross-attention (tools/
     perf_crosskv.py), ~2.6% relative output error at random init — an
     opt-in serving mode (ComputeOptions), not the default.
+
+    WKTPU_PALLAS_CROSS_DECODE=1 routes the T==1 no-capture case through the
+    one-pass Pallas kernel instead (explicit K+V-once HBM traffic, no
+    q/probs re-quantization — see ops/attention_decode.py).
     """
     if not isinstance(ck, dict):
         return _attend(cq, ck, cv, capture_probs=capture_probs)
     scale = cq.shape[-1] ** -0.25  # same dh^-.25 on q as _attend (k's is folded)
     qs = cq.astype(jnp.float32) * (scale * scale) * ck["scale"]
+    if (
+        cq.shape[-2] == 1
+        and not capture_probs
+        and _pallas_cross_decode_gate()
+    ):
+        from whisperkit_tpu.ops.attention_decode import cross_attend_q8_pallas
+
+        return cross_attend_q8_pallas(
+            qs, ck["q8"], cv["q8"], cv["scale"]
+        ).astype(cq.dtype)
     q_scale = jnp.maximum(jnp.abs(qs).max(axis=-1, keepdims=True) / 127.0, 1e-8)
     qi = jnp.clip(jnp.round(qs / q_scale), -127, 127).astype(jnp.int8)
     scores_i = jnp.einsum(
