@@ -19,7 +19,7 @@ from whisperkit_tpu.ops.attention_decode import (
 from whisperkit_tpu.ops.quant import quantize_cross_kv
 
 
-def _mk(b=2, h=4, s=300, dh=64, seed=0):
+def _mk(b=4, h=4, s=300, dh=64, seed=0):
     rng = np.random.default_rng(seed)
     cq = jnp.asarray(rng.standard_normal((b, h, 1, dh)) * 0.3, jnp.float32)
     k = jnp.asarray(rng.standard_normal((1, b, h, s, dh)) * 0.5, jnp.float32)
@@ -30,32 +30,47 @@ def _mk(b=2, h=4, s=300, dh=64, seed=0):
     return cq, k[0], v[0], ck, cv
 
 
-def test_kernel_matches_jnp_reference():
-    cq, _, _, ck, cv = _mk()
+def _fold_quantize_q(cq, ck):
     scale = cq.shape[-1] ** -0.25
     qs = cq.astype(jnp.float32) * (scale * scale) * ck["scale"]
-    out_k = np.asarray(cross_attend_q8_pallas(qs, ck["q8"], cv["q8"], cv["scale"]))
-    out_r = np.asarray(cross_attend_q8_reference(qs, ck["q8"], cv["q8"], cv["scale"]))
+    q_scale = jnp.maximum(jnp.abs(qs).max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    qi = jnp.clip(jnp.round(qs / q_scale), -127, 127).astype(jnp.int8)
+    return qi, q_scale
+
+
+@pytest.mark.parametrize("block_b", [1, 2, 4])
+def test_kernel_matches_jnp_reference(block_b):
+    cq, _, _, ck, cv = _mk()
+    qi, q_scale = _fold_quantize_q(cq, ck)
+    out_k = np.asarray(cross_attend_q8_pallas(
+        qi, q_scale, ck["q8"], cv["q8"], cv["scale"], block_b=block_b))
+    out_r = np.asarray(cross_attend_q8_reference(
+        qi, q_scale, ck["q8"], cv["q8"], cv["scale"]))
     np.testing.assert_allclose(out_k, out_r, rtol=1e-5, atol=1e-5)
 
 
-def test_kernel_tracks_bf16_attention_within_int8_envelope():
-    """The kernel output must track the UNQUANTIZED bf16 attention at least
-    as closely as the existing int8 einsum path does (it skips the q/probs
-    re-quantization, so it should be no worse)."""
+def test_block_b_not_dividing_batch_falls_back():
+    cq, _, _, ck, cv = _mk(b=3, seed=4)
+    qi, q_scale = _fold_quantize_q(cq, ck)
+    out_k = np.asarray(cross_attend_q8_pallas(
+        qi, q_scale, ck["q8"], cv["q8"], cv["scale"], block_b=2))
+    out_r = np.asarray(cross_attend_q8_reference(
+        qi, q_scale, ck["q8"], cv["q8"], cv["scale"]))
+    np.testing.assert_allclose(out_k, out_r, rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_matches_einsum_path_and_tracks_bf16():
+    """Same int8 recipe as _cross_attend's einsum path → near-identical
+    output; both stay within the int8 envelope of raw bf16 attention."""
     cq, k, v, ck, cv = _mk(seed=1)
     raw = np.asarray(_attend(cq, k, v), np.float32)
     einsum_q8 = np.asarray(_cross_attend(cq, ck, cv, capture_probs=False), np.float32)
-    scale = cq.shape[-1] ** -0.25
-    qs = cq.astype(jnp.float32) * (scale * scale) * ck["scale"]
-    kern = np.asarray(
-        cross_attend_q8_pallas(qs, ck["q8"], cv["q8"], cv["scale"]), np.float32
-    )
+    qi, q_scale = _fold_quantize_q(cq, ck)
+    kern = np.asarray(cross_attend_q8_pallas(
+        qi, q_scale, ck["q8"], cv["q8"], cv["scale"]), np.float32)
+    np.testing.assert_allclose(kern, einsum_q8, rtol=2e-3, atol=2e-4)
     ref_norm = np.linalg.norm(raw)
-    err_kern = np.linalg.norm(kern - raw) / ref_norm
-    err_einsum = np.linalg.norm(einsum_q8 - raw) / ref_norm
-    assert err_kern < 0.05
-    assert err_kern <= err_einsum * 1.05  # no worse than the einsum path
+    assert np.linalg.norm(kern - raw) / ref_norm < 0.05
 
 
 def test_gate_routes_cross_attend_through_kernel(monkeypatch):
@@ -66,11 +81,9 @@ def test_gate_routes_cross_attend_through_kernel(monkeypatch):
     cq, _, _, ck, cv = _mk(seed=2)
     monkeypatch.setenv("WKTPU_PALLAS_CROSS_DECODE", "1")
     gated = np.asarray(wm._cross_attend(cq, ck, cv, capture_probs=False))
-    scale = cq.shape[-1] ** -0.25
-    qs = cq.astype(jnp.float32) * (scale * scale) * ck["scale"]
-    direct = np.asarray(
-        cross_attend_q8_pallas(qs, ck["q8"], cv["q8"], cv["scale"]).astype(cq.dtype)
-    )
+    qi, q_scale = _fold_quantize_q(cq, ck)
+    direct = np.asarray(cross_attend_q8_pallas(
+        qi, q_scale, ck["q8"], cv["q8"], cv["scale"]).astype(cq.dtype))
     np.testing.assert_array_equal(gated, direct)
     # capture path must NOT route through the kernel (needs probs)
     out, probs = wm._cross_attend(cq, ck, cv, capture_probs=True)
@@ -78,13 +91,12 @@ def test_gate_routes_cross_attend_through_kernel(monkeypatch):
 
 
 def test_gated_decode_loop_end_to_end(monkeypatch):
-    """Full decode_loop with the kernel gate on: runs and stays close to
-    the ungated int8 path (kernel skips q/probs quantization, so outputs
-    may differ within the int8 envelope — tokens at tiny dims mostly agree)."""
+    """Full decode_loop with the kernel gate on runs and emits finite
+    logprobs (the kernel math equals the einsum path's, so behavior is
+    unchanged within float tolerance)."""
     monkeypatch.setenv("WKTPU_PALLAS_CROSS_DECODE", "1")
     from whisperkit_tpu.decoding.loop import DecodeScalars, decode_loop, encode_window
     from whisperkit_tpu.models.whisper import WhisperDims, init_params
-    from whisperkit_tpu.ops.quant import quantize_cross_kv
     from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab
 
     dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)

@@ -397,13 +397,15 @@ def _cross_attend(cq, ck, cv, capture_probs: bool):
     opt-in serving mode (ComputeOptions), not the default.
 
     WKTPU_PALLAS_CROSS_DECODE=1 routes the T==1 no-capture case through the
-    one-pass Pallas kernel instead (explicit K+V-once HBM traffic, no
-    q/probs re-quantization — see ops/attention_decode.py).
+    one-pass Pallas kernel instead (same int8 math, HBM traffic exactly
+    K+V once — see ops/attention_decode.py).
     """
     if not isinstance(ck, dict):
         return _attend(cq, ck, cv, capture_probs=capture_probs)
     scale = cq.shape[-1] ** -0.25  # same dh^-.25 on q as _attend (k's is folded)
     qs = cq.astype(jnp.float32) * (scale * scale) * ck["scale"]
+    q_scale = jnp.maximum(jnp.abs(qs).max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    qi = jnp.clip(jnp.round(qs / q_scale), -127, 127).astype(jnp.int8)
     if (
         cq.shape[-2] == 1
         and not capture_probs
@@ -412,10 +414,8 @@ def _cross_attend(cq, ck, cv, capture_probs: bool):
         from whisperkit_tpu.ops.attention_decode import cross_attend_q8_pallas
 
         return cross_attend_q8_pallas(
-            qs, ck["q8"], cv["q8"], cv["scale"]
+            qi, q_scale, ck["q8"], cv["q8"], cv["scale"]
         ).astype(cq.dtype)
-    q_scale = jnp.maximum(jnp.abs(qs).max(axis=-1, keepdims=True) / 127.0, 1e-8)
-    qi = jnp.clip(jnp.round(qs / q_scale), -127, 127).astype(jnp.int8)
     scores_i = jnp.einsum(
         "bhtd,bhsd->bhts", qi, ck["q8"], preferred_element_type=jnp.int32
     )

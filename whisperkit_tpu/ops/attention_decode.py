@@ -7,24 +7,27 @@ step against a 4.8 ms pure-bandwidth floor (3.9 GB of int8 K/V read per
 step) — a ~45% excess that survived the fused-QKV test, leaving XLA's
 scheduling of 640 skinny [1,64]x[64,1500] matvec fusions as the suspect.
 
-This kernel makes the traffic explicit: grid (B, H); each program DMAs one
-head's ENTIRE K and V (1500x64 int8 = 96 KB each — trivially VMEM-resident,
-double-buffered across grid steps) and computes
-
-    scores[1,S]  = qs_f32 @ K_int8         (K converts in VMEM)
-    probs        = softmax(scores)          f32, VMEM-resident
-    out[1,Dh]    = (probs @ V_int8) * v_scale
-
-so HBM traffic is exactly K+V+q+out. Two accuracy wins over the XLA int8
-einsum path (`models/whisper._cross_attend`): the query is NOT re-quantized
-(its scale-folded f32 form feeds the dot directly) and the probs are NOT
-quantized for the V dot — only the K/V int8 rounding remains.
+Kernel shape: grid (H, B/block_b); each program holds block_b batch rows'
+ENTIRE K and V for one head in VMEM (block_b=16: 2x1.5 MB int8,
+double-buffered ≈ 6 MB of the 16 MB budget) and runs the same int8 recipe
+as `models/whisper._cross_attend`'s einsum path — int8xint8 MXU score dot
+with the pre-folded/quantized query, f32 softmax, per-row probs
+requantization, int8xint8 V dot — so HBM traffic is exactly K+V once and
+nothing f32-sized ever materializes. Batching B inside the program matters:
+a (B, H) grid of single-row programs would bottleneck on per-iteration
+fixed cost (~1 us against a 0.2 us DMA), not bandwidth.
 
 Relay constraints honored (CLAUDE.md): plain BlockSpecs only, no manual
 ANY-space DMA, no in-kernel concat.
+
+Gated behind WKTPU_PALLAS_CROSS_DECODE=1 (read at trace time in
+models/whisper._cross_attend) until measured on-chip; A/B via
+`tools/perf_decode.py --serving --pallas-cross --only base`.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -32,68 +35,74 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cross_decode_kernel(q_ref, k_ref, v_ref, vs_ref, o_ref):
-    # refs: q [1,1,1,Dh] f32 (scale-folded), k/v [1,1,S,Dh] int8,
-    # vs [1,1,1,Dh] f32, o [1,1,1,Dh] f32
-    q = q_ref[0, 0]  # [1, Dh] f32
-    k = k_ref[0, 0].astype(jnp.float32)  # [S, Dh]
-    scores = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, S]
+def _cross_decode_kernel(qi_ref, qs_ref, k_ref, v_ref, vs_ref, o_ref):
+    # refs: qi [bb,1,1,Dh] int8, qs [bb,1,1,1] f32 (query scale),
+    # k/v [bb,1,S,Dh] int8, vs [bb,1,1,Dh] f32, o [bb,1,1,Dh] f32
+    qi = qi_ref[:, 0]  # [bb, 1, Dh] int8
+    k = k_ref[:, 0]  # [bb, S, Dh] int8
+    scores_i = jax.lax.dot_general(
+        qi, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [bb, 1, S] int32
+    scores = scores_i.astype(jnp.float32) * qs_ref[:, 0]  # [bb,1,S] * [bb,1,1]
     probs = jax.nn.softmax(scores, axis=-1)
-    v = v_ref[0, 0].astype(jnp.float32)  # [S, Dh]
-    out = jax.lax.dot_general(
-        probs, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [1, Dh]
-    o_ref[0, 0] = out * vs_ref[0, 0]
+    p_scale = jnp.maximum(probs.max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    pi = jnp.clip(jnp.round(probs / p_scale), 0, 127).astype(jnp.int8)
+    v = v_ref[:, 0]  # [bb, S, Dh] int8
+    out_i = jax.lax.dot_general(
+        pi, v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [bb, 1, Dh] int32
+    o_ref[:, 0] = out_i.astype(jnp.float32) * p_scale * vs_ref[:, 0]
 
 
-@jax.jit
-def cross_attend_q8_pallas(qs, k_q8, v_q8, v_scale):
-    """T==1 cross-attention over int8 K/V.
+@functools.partial(jax.jit, static_argnames=("block_b",))
+def cross_attend_q8_pallas(qi, q_scale, k_q8, v_q8, v_scale, block_b: int = 16):
+    """T==1 int8 cross-attention (same math as the XLA einsum path).
 
-    qs:      [B,H,1,Dh] f32 — query with dh^-0.5 and K's per-channel scale
-             already folded in (models/whisper._cross_attend does the fold)
+    qi:      [B,H,1,Dh] int8 — query, scale-folded then row-quantized
+             (models/whisper._cross_attend does the fold+quantize)
+    q_scale: [B,H,1,1] f32 — per-row query dequant scale
     k_q8:    [B,H,S,Dh] int8
     v_q8:    [B,H,S,Dh] int8
     v_scale: [B,H,1,Dh] f32 (per-channel V scale)
     → [B,H,1,Dh] f32
     """
     b, h, s, dh = k_q8.shape
-    grid = (b, h)
+    bb = min(block_b, b)
+    while b % bb:  # block must divide B (b is a handful of static sizes)
+        bb -= 1
+    grid = (h, b // bb)
+    spec = lambda blk: pl.BlockSpec(  # noqa: E731
+        blk, lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         _cross_decode_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, dh), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, dh), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, dh), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, dh), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            spec((bb, 1, 1, dh)),
+            spec((bb, 1, 1, 1)),
+            spec((bb, 1, s, dh)),
+            spec((bb, 1, s, dh)),
+            spec((bb, 1, 1, dh)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, dh), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=spec((bb, 1, 1, dh)),
         out_shape=jax.ShapeDtypeStruct((b, h, 1, dh), jnp.float32),
         interpret=jax.devices()[0].platform == "cpu",  # CPU tests
-    )(qs, k_q8, v_q8, v_scale)
+    )(qi, q_scale, k_q8, v_q8, v_scale)
 
 
-def cross_attend_q8_reference(qs, k_q8, v_q8, v_scale):
+def cross_attend_q8_reference(qi, q_scale, k_q8, v_q8, v_scale):
     """jnp reference of the kernel math (tests pin kernel == reference)."""
-    scores = jnp.einsum(
-        "bhtd,bhsd->bhts", qs, k_q8.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+    scores_i = jnp.einsum(
+        "bhtd,bhsd->bhts", qi, k_q8, preferred_element_type=jnp.int32
     )
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum(
-        "bhts,bhsd->bhtd", probs, v_q8.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+    probs = jax.nn.softmax(scores_i.astype(jnp.float32) * q_scale, axis=-1)
+    p_scale = jnp.maximum(probs.max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    pi = jnp.clip(jnp.round(probs / p_scale), 0, 127).astype(jnp.int8)
+    out_i = jnp.einsum(
+        "bhts,bhsd->bhtd", pi, v_q8, preferred_element_type=jnp.int32
     )
-    return out * v_scale
+    return out_i.astype(jnp.float32) * p_scale * v_scale
