@@ -275,19 +275,26 @@ def _attend_self_q8(q, k, v, mask=None, capture_probs=False):
     return out
 
 
-def _attend(q, k, v, mask=None, capture_probs=False):
+def _attend(q, k, v, mask=None, capture_probs=False, force_f32_scores=False):
     """q:[B,H,Tq,Dh] k,v:[B,H,Tk,Dh]; whisper scales q and k by dh^-0.25.
 
     Scores dtype: f32 on parity paths (f32 operands) and whenever the probs
     are captured (word-timestamp alignment quality); bf16 otherwise. The
     encoder's [B,H,1500,1500] score/prob tensors dominate its HBM traffic —
     bf16 scores measured 494→358 ms (37→52% MFU) at b=16 large-v3-turbo on
-    v5e (tools/perf_encoder.py v0 vs v9).
+    v5e (tools/perf_encoder.py v0 vs v9). force_f32_scores pins f32 where a
+    caller depends on it regardless of capture (the raw decode cross path —
+    its [B,H,T,1500] scores are tiny, so f32 costs nothing there).
     """
     if isinstance(k, dict):
         return _attend_self_q8(q, k, v, mask, capture_probs)
     scale = q.shape[-1] ** -0.25
-    keep_f32 = capture_probs or q.dtype == jnp.float32 or k.dtype == jnp.float32
+    keep_f32 = (
+        force_f32_scores
+        or capture_probs
+        or q.dtype == jnp.float32
+        or k.dtype == jnp.float32
+    )
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, k * scale,
         precision=_prec(q, k),
@@ -401,7 +408,14 @@ def _cross_attend(cq, ck, cv, capture_probs: bool):
     K+V once — see ops/attention_decode.py).
     """
     if not isinstance(ck, dict):
-        return _attend(cq, ck, cv, capture_probs=capture_probs)
+        # f32 scores regardless of capture: the decode cross scores are
+        # tiny ([B,H,T,1500]) and random-init logit gaps sit below bf16
+        # resolution (pinned by test_pipeline.test_windows_hear_the_audio);
+        # this was the historical behavior via the old always-True
+        # capture_probs flag.
+        return _attend(
+            cq, ck, cv, capture_probs=capture_probs, force_f32_scores=True
+        )
     scale = cq.shape[-1] ** -0.25  # same dh^-.25 on q as _attend (k's is folded)
     qs = cq.astype(jnp.float32) * (scale * scale) * ck["scale"]
     q_scale = jnp.maximum(jnp.abs(qs).max(axis=-1, keepdims=True) / 127.0, 1e-8)
@@ -559,11 +573,21 @@ def decoder_forward(
             attn = _attend(q, kk, vv, mask)
             x = x + dense(_merge_heads(attn), bp["attn"]["out"])
 
-        # cross-attention (K/V precomputed; optionally int8-quantized)
+        # cross-attention (K/V precomputed; optionally int8-quantized).
+        # capture_probs only when alignment capture actually needs them:
+        # passing True unconditionally (pre-r6) made the Pallas
+        # decode-kernel gate unreachable (DCE removed the unused probs
+        # OUTPUT but not the flag's effect on dispatch). Raw-path scores
+        # stay f32 via force_f32_scores inside _cross_attend.
         if "cross" not in ablate:
             h = layer_norm(x, bp["cross_attn_ln"])
             cq = _split_heads(dense(h, bp["cross_attn"]["q"]), n_head)
-            cross_out, cross_probs = _cross_attend(cq, ck, cv, capture_probs=True)
+            if capture_alignment:
+                cross_out, cross_probs = _cross_attend(
+                    cq, ck, cv, capture_probs=True
+                )
+            else:
+                cross_out = _cross_attend(cq, ck, cv, capture_probs=False)
             x = x + dense(_merge_heads(cross_out), bp["cross_attn"]["out"])
         elif capture_alignment:
             ck_frames = ck["q8"].shape[2] if isinstance(ck, dict) else ck.shape[2]
@@ -651,10 +675,17 @@ def decoder_forward(
             if "cross" not in ablate:
                 h = layer_norm(x, bp["cross_attn_ln"])
                 cq = _split_heads(dense(h, bp["cross_attn"]["q"]), n_head)
-                cross_out, probs = _cross_attend(cq, ck, cv, capture_probs=True)
-                x = x + dense(_merge_heads(cross_out), bp["cross_attn"]["out"])
+                # capture_probs tracks capture_alignment (see scan block
+                # note) — this is what lets the T==1 Pallas kernel gate
+                # engage on production decode steps
                 if capture_alignment:
+                    cross_out, probs = _cross_attend(
+                        cq, ck, cv, capture_probs=True
+                    )
                     probs_layers.append(probs)
+                else:
+                    cross_out = _cross_attend(cq, ck, cv, capture_probs=False)
+                x = x + dense(_merge_heads(cross_out), bp["cross_attn"]["out"])
             h = layer_norm(x, bp["mlp_ln"])
             x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
         cross_probs = jnp.stack(probs_layers) if probs_layers else None
