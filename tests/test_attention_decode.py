@@ -125,3 +125,89 @@ def test_gated_decode_loop_end_to_end(monkeypatch):
     toks = np.asarray(out.tokens)[0]
     assert toks.shape[0] == 10
     assert np.isfinite(np.asarray(out.token_logprobs)).all()
+
+
+# ---------------------------------------------------------------------------
+# T==1 SELF-attention kernels
+# ---------------------------------------------------------------------------
+
+
+def _mk_self(b=4, h=4, s=64, dh=64, pos=10, seed=5):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, h, 1, dh)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)) * 0.5, jnp.float32)
+    # zero out unwritten cache rows like the real cache
+    written = (np.arange(s) <= pos)[None, None, :, None]
+    k = k * written
+    v = v * written
+    mask = jnp.where(jnp.arange(s)[None, :] <= pos, 0.0, -jnp.inf).astype(
+        jnp.float32
+    )
+    return q, k, v, mask
+
+
+def test_self_kernel_matches_attend():
+    from whisperkit_tpu.ops.attention_decode import self_attend_pallas
+
+    q, k, v, mask_row = _mk_self()
+    dh = q.shape[-1]
+    out_k = np.asarray(self_attend_pallas(q * (dh**-0.5), k, v, mask_row))
+    out_r = np.asarray(_attend(q, k, v, mask_row[None, None]))
+    np.testing.assert_allclose(out_k, out_r, rtol=2e-3, atol=2e-4)
+
+
+def test_self_q8_kernel_matches_attend_self_q8():
+    from whisperkit_tpu.models.whisper import _attend_self_q8, _q8_rows
+    from whisperkit_tpu.ops.attention_decode import self_attend_q8_pallas
+
+    q, k, v, mask_row = _mk_self(seed=6)
+    k8, ks = _q8_rows(k)
+    v8, vs = _q8_rows(v)
+    kd = {"q8": k8, "scale": ks}
+    vd = {"q8": v8, "scale": vs}
+    ref = np.asarray(_attend_self_q8(q, kd, vd, mask_row[None, None]))
+    dh = q.shape[-1]
+    qs8 = q.astype(jnp.float32) * (dh**-0.5)
+    q_sc = jnp.maximum(jnp.abs(qs8).max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    qi8 = jnp.clip(jnp.round(qs8 / q_sc), -127, 127).astype(jnp.int8)
+    out = np.asarray(
+        self_attend_q8_pallas(qi8, q_sc, k8, ks, v8, vs, mask_row)
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("quant_self", [False, True])
+def test_gated_self_decode_loop_end_to_end(monkeypatch, quant_self):
+    """Full decode_loop with the self-kernel gate on (raw and int8 cache
+    forms) runs and emits finite logprobs."""
+    monkeypatch.setenv("WKTPU_PALLAS_SELF_DECODE", "1")
+    from whisperkit_tpu.decoding.loop import DecodeScalars, decode_loop, encode_window
+    from whisperkit_tpu.models.whisper import WhisperDims, init_params
+    from whisperkit_tpu.ops.mel import log_mel_spectrogram
+    from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab
+
+    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    sp = special_tokens_for_vocab(dims.n_vocab)
+    rng = np.random.default_rng(7)
+    audio = jnp.asarray(rng.standard_normal((1, 480_000)) * 0.1, jnp.float32)
+    mel = log_mel_spectrogram(audio, n_mels=dims.n_mels)
+    _, ck, cv = encode_window(params, mel, dims)
+    prompt = jnp.asarray([[sp.sot, sp.transcribe]], jnp.int32)
+    suppress = jnp.zeros((dims.n_vocab,), jnp.float32)
+    scalars = DecodeScalars(
+        temperature=jnp.float32(0.0),
+        max_initial_timestamp_index=jnp.int32(50),
+        first_token_logprob_threshold=jnp.float32(float("-inf")),
+        rng_key=jax.random.PRNGKey(0),
+    )
+    out = decode_loop(
+        params, ck, cv, prompt, suppress, scalars,
+        dims=dims, special=sp, sample_begin=2, max_new_tokens=8,
+        top_k=5, sot_index=0, use_timestamp_rules=False, suppress_blank=False,
+        quantize_self_kv=quant_self,
+    )
+    toks = np.asarray(out.tokens)[0]
+    assert toks.shape[0] == 10
+    assert np.isfinite(np.asarray(out.token_logprobs)).all()

@@ -391,6 +391,15 @@ def _pallas_cross_decode_gate() -> bool:
     return os.environ.get("WKTPU_PALLAS_CROSS_DECODE") == "1"
 
 
+def _pallas_self_decode_gate() -> bool:
+    """Opt-in gate for the Pallas T==1 self-attention kernels (raw + int8
+    cache forms, ops/attention_decode.py). Same trace-time A/B discipline
+    as the cross gate. Off until measured on-chip."""
+    import os
+
+    return os.environ.get("WKTPU_PALLAS_SELF_DECODE") == "1"
+
+
 def _cross_attend(cq, ck, cv, capture_probs: bool):
     """Cross-attention over per-window cached K/V.
 
@@ -662,15 +671,47 @@ def decoder_forward(
                     kv_v = _self_kv_write(
                         kv_v, v_new[None], (li, 0, 0, pos_offset, 0)
                     )
-                if kv_is_q8:
-                    attn = _attend(
-                        q,
-                        jax.tree.map(lambda a: a[li], kv_k),
-                        jax.tree.map(lambda a: a[li], kv_v),
-                        mask,
-                    )
+                kk_li = (
+                    jax.tree.map(lambda a: a[li], kv_k) if kv_is_q8 else kv_k[li]
+                )
+                vv_li = (
+                    jax.tree.map(lambda a: a[li], kv_v) if kv_is_q8 else kv_v[li]
+                )
+                if _pallas_self_decode_gate():
+                    # T==1 self-attention via the Pallas one-pass kernels
+                    # (opt-in experiment; ops/attention_decode.py). The
+                    # causal mask goes in as its [1,S] additive row.
+                    mask_row = mask[0, 0]
+                    dh = q.shape[-1]
+                    if kv_is_q8:
+                        from whisperkit_tpu.ops.attention_decode import (
+                            self_attend_q8_pallas,
+                        )
+
+                        qs8 = q.astype(jnp.float32) * (dh**-0.5)
+                        q_sc = jnp.maximum(
+                            jnp.abs(qs8).max(axis=-1, keepdims=True) / 127.0,
+                            1e-8,
+                        )
+                        qi8 = jnp.clip(
+                            jnp.round(qs8 / q_sc), -127, 127
+                        ).astype(jnp.int8)
+                        attn = self_attend_q8_pallas(
+                            qi8, q_sc, kk_li["q8"],
+                            kk_li["scale"].astype(jnp.float32),
+                            vv_li["q8"], vv_li["scale"].astype(jnp.float32),
+                            mask_row,
+                        ).astype(q.dtype)
+                    else:
+                        from whisperkit_tpu.ops.attention_decode import (
+                            self_attend_pallas,
+                        )
+
+                        attn = self_attend_pallas(
+                            q * (dh**-0.5), kk_li, vv_li, mask_row
+                        ).astype(q.dtype)
                 else:
-                    attn = _attend(q, kv_k[li], kv_v[li], mask)
+                    attn = _attend(q, kk_li, vv_li, mask)
                 x = x + dense(_merge_heads(attn), bp["attn"]["out"])
             if "cross" not in ablate:
                 h = layer_norm(x, bp["cross_attn_ln"])
