@@ -52,6 +52,11 @@ def main() -> None:
         "ops/attention_decode.py) — A/B against a separate run without it",
     )
     ap.add_argument(
+        "--pallas-self", action="store_true",
+        help="route T==1 self-attention through the Pallas one-pass "
+        "kernels (sets WKTPU_PALLAS_SELF_DECODE=1 before tracing)",
+    )
+    ap.add_argument(
         "--quant", choices=["w8a16", "w4a16"], default=None,
         help="weight-quantize the model before measuring (composes with "
         "--serving / the int8 KV rows — e.g. --quant w4a16 --serving "
@@ -64,10 +69,13 @@ def main() -> None:
         "only way large-v3 b=32 fits); measures the int8 ladder",
     )
     args = ap.parse_args()
-    if args.pallas_cross:
+    if args.pallas_cross or args.pallas_self:
         import os
 
-        os.environ["WKTPU_PALLAS_CROSS_DECODE"] = "1"
+        if args.pallas_cross:
+            os.environ["WKTPU_PALLAS_CROSS_DECODE"] = "1"
+        if args.pallas_self:
+            os.environ["WKTPU_PALLAS_SELF_DECODE"] = "1"
 
     import jax
     import jax.numpy as jnp

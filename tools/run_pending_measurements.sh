@@ -26,9 +26,15 @@ run() { # name timeout_s command...
 run selfkv_step 2400 python tools/perf_decode.py --serving --variant large-v3 \
     --batch 32 --only base,int8_self_kv
 
-# 2. Pallas cross-decode kernel A/B (separate processes: trace-time env gate)
+# 2. Pallas decode-kernel A/Bs (separate processes: trace-time env gates)
 run pallas_cross_step 2400 python tools/perf_decode.py --serving \
     --variant large-v3 --batch 32 --pallas-cross --only base
+run pallas_self_step 2400 python tools/perf_decode.py --serving \
+    --variant large-v3 --batch 32 --pallas-self --only base
+run pallas_both_step 2400 python tools/perf_decode.py --serving \
+    --variant large-v3 --batch 32 --pallas-cross --pallas-self --only base
+run pallas_self_int8_step 2400 python tools/perf_decode.py --serving \
+    --variant large-v3 --batch 32 --pallas-self --only int8_self_kv
 
 # 3. int8 self-KV at pipeline level (serving preset + self-KV)
 run selfkv_pipeline 3600 python tools/probe_pipeline_config.py --self-kv
