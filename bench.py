@@ -101,6 +101,23 @@ def measure_tunnel_dispatch_ms() -> float:
 
 
 def main() -> None:
+    # Fail over BEFORE touching jax: backend init has no timeout, and with
+    # the TPU tunnel down (multi-hour outages observed, CLAUDE.md) the
+    # first jax call hangs ~15 min then raises — the driver's round-end
+    # bench run would record nothing. Probe in a throwaway subprocess and
+    # fall back to the CPU path so a JSON line always lands.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu", ""):
+        from whisperkit_tpu.core.device_probe import probe_backend
+
+        res = probe_backend(timeout_s=120.0)
+        if not res.ok:
+            print(f"bench: {res.message}; falling back to CPU", file=sys.stderr)
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+
     import jax
     import jax.numpy as jnp
 
