@@ -32,6 +32,11 @@ _LAZY = {
     "BatchScheduler": ("whisperkit_tpu.pipelines.scheduler", "BatchScheduler"),
     "TranscriptionResult": ("whisperkit_tpu.core.results", "TranscriptionResult"),
     "DiarizationResult": ("whisperkit_tpu.speaker.results", "DiarizationResult"),
+    # weight compression (the reference's quantized/4-bit variant family)
+    "quantize_whisper_params": ("whisperkit_tpu.ops.quant", "quantize_whisper_params"),
+    "quantize_tts_params": ("whisperkit_tpu.ops.quant", "quantize_tts_params"),
+    # accelerator reachability (fail-fast serving startup)
+    "probe_backend": ("whisperkit_tpu.core.device_probe", "probe_backend"),
 }
 
 __all__ = sorted(
