@@ -108,7 +108,10 @@ def main() -> None:
     # fall back to the CPU path so a JSON line always lands.
     import os
 
-    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu", ""):
+    # probe unless EXPLICITLY cpu: the axon backend registers via
+    # sitecustomize/PYTHONPATH even when JAX_PLATFORMS is unset, so an
+    # empty var is not safe (review finding r6)
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
         from whisperkit_tpu.core.device_probe import probe_backend
 
         res = probe_backend(timeout_s=120.0)

@@ -99,7 +99,11 @@ def test_gated_decode_loop_end_to_end(monkeypatch):
     from whisperkit_tpu.models.whisper import WhisperDims, init_params
     from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab
 
-    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    # UNIQUE dims (vocab 211): the WKTPU_PALLAS_* gates are trace-time, so a
+    # jit signature shared with other tests would make kernel coverage
+    # order-dependent (cached non-gated trace) and could leak the gated
+    # executable to later tests (r6 review finding)
+    dims = WhisperDims(80, 211, 1500, 64, 4, 2, 64, 64, 4, 2)
     params = init_params(jax.random.PRNGKey(0), dims)
     sp = special_tokens_for_vocab(dims.n_vocab)
     rng = np.random.default_rng(3)
@@ -187,7 +191,11 @@ def test_gated_self_decode_loop_end_to_end(monkeypatch, quant_self):
     from whisperkit_tpu.ops.mel import log_mel_spectrogram
     from whisperkit_tpu.text.tokenizer import special_tokens_for_vocab
 
-    dims = WhisperDims(80, 207, 1500, 64, 4, 2, 64, 64, 4, 2)
+    # UNIQUE dims (vocab 211): the WKTPU_PALLAS_* gates are trace-time, so a
+    # jit signature shared with other tests would make kernel coverage
+    # order-dependent (cached non-gated trace) and could leak the gated
+    # executable to later tests (r6 review finding)
+    dims = WhisperDims(80, 211, 1500, 64, 4, 2, 64, 64, 4, 2)
     params = init_params(jax.random.PRNGKey(0), dims)
     sp = special_tokens_for_vocab(dims.n_vocab)
     rng = np.random.default_rng(7)

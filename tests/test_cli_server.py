@@ -417,9 +417,29 @@ def test_cli_serve_fails_fast_on_dead_device(monkeypatch, capsys):
     monkeypatch.setattr(
         device_probe, "_PROBE_CODE", "import time; time.sleep(60)"
     )
+    # the test process runs explicitly on CPU (conftest), which normally
+    # SKIPS the probe — force the non-cpu decision to exercise the path
+    monkeypatch.setattr(cli_main, "_explicit_cpu", lambda: False)
     rc = cli_main.main([
         "serve", "--model-folder", "/nonexistent",
         "--device-probe-timeout", "1",
     ])
     assert rc == 1
     assert "device probe failed" in capsys.readouterr().err
+
+
+def test_cli_probe_skipped_on_explicit_cpu(monkeypatch):
+    """A pure-CPU process (env or config override) must NOT pay or fail
+    the default-backend probe."""
+    from whisperkit_tpu.cli import main as cli_main
+    from whisperkit_tpu.core import device_probe
+
+    def boom(_timeout):
+        raise AssertionError("probe must not run on explicit-CPU processes")
+
+    monkeypatch.setattr(device_probe, "probe_backend", boom)
+    import argparse
+
+    args = argparse.Namespace(device_probe_timeout=90.0)
+    # conftest forces jax_platforms=cpu in this process → skip
+    cli_main._probe_device_or_raise(args)

@@ -74,6 +74,15 @@ def main() -> None:
 
         if args.pallas_cross:
             os.environ["WKTPU_PALLAS_CROSS_DECODE"] = "1"
+            if not args.serving:
+                # the cross kernel only exists on the int8 cross-KV path:
+                # without --serving only the int8_cross_kv row uses a dict
+                # ck, so a base-row A/B would compare two identical runs
+                print(
+                    "WARNING: --pallas-cross without --serving only affects "
+                    "the int8_cross_kv row (bf16 rows never hit the kernel)",
+                    file=sys.stderr,
+                )
         if args.pallas_self:
             os.environ["WKTPU_PALLAS_SELF_DECODE"] = "1"
 

@@ -36,6 +36,13 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
         "here any checkpoint quantizes on the fly — w4a16 is the analog "
         "of the 4-bit palettized variants)",
     )
+    p.add_argument(
+        "--device-probe-timeout", type=float, default=90.0,
+        help="fail fast if the accelerator backend does not initialize "
+        "within this many seconds (0 disables the probe) — a jax backend "
+        "whose remote device is unreachable otherwise hangs ~15 min with "
+        "no diagnostics (core/device_probe.py)",
+    )
 
 
 def _add_decoding_args(p: argparse.ArgumentParser) -> None:
@@ -114,13 +121,6 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(v)
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=50060)
-    v.add_argument(
-        "--device-probe-timeout", type=float, default=90.0,
-        help="fail fast if the accelerator backend does not initialize "
-        "within this many seconds (0 disables the probe) — a jax backend "
-        "whose remote device is unreachable otherwise hangs startup for "
-        "~15 min with no diagnostics",
-    )
 
     return parser
 
@@ -161,9 +161,49 @@ def _decode_options(args, tokenizer=None):
     )
 
 
+class DeviceUnavailable(RuntimeError):
+    pass
+
+
+def _probe_device_or_raise(args) -> None:
+    """Fail fast instead of hanging at the first jax call when the remote
+    accelerator is unreachable (core/device_probe.py). Shared by every
+    pipeline-building subcommand. Skipped when this process is explicitly
+    on the CPU backend (env or post-import config override) — probing the
+    DEFAULT backend there would wrongly fail a pure-CPU run."""
+    timeout = getattr(args, "device_probe_timeout", 0)
+    if not timeout or timeout <= 0:
+        return
+    if _explicit_cpu():
+        return
+    from whisperkit_tpu.core.device_probe import probe_backend
+
+    res = probe_backend(timeout)
+    if not res.ok:
+        raise DeviceUnavailable(res.message)
+
+
+def _explicit_cpu() -> bool:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True
+    if "jax" in sys.modules:
+        try:
+            import jax
+
+            if jax.config.jax_platforms == "cpu":
+                return True
+        except Exception:
+            pass
+    return False
+
+
 def _build_pipeline(args):
     from whisperkit_tpu.core.configurations import ComputeOptions, WhisperConfig
     from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    _probe_device_or_raise(args)
 
     config = WhisperConfig(
         model=args.model,
@@ -188,9 +228,14 @@ def _build_pipeline(args):
 
 
 def cmd_transcribe(args) -> int:
-    from whisperkit_tpu.text.transcription_utils import format_segments
-    from whisperkit_tpu.text.writers import make_writer
-
+    if args.profile_dir and (args.stream or args.stream_simulated):
+        # streaming runs are open-ended; a "trace the whole run" flag would
+        # silently produce nothing (the stream paths return early)
+        print(
+            "--profile-dir is not supported with --stream/--stream-simulated",
+            file=sys.stderr,
+        )
+        return 2
     paths = [Path(p) for p in args.audio_path]
     if args.audio_folder:
         folder = Path(args.audio_folder)
@@ -319,6 +364,7 @@ def _stream_simulated(pipe, path: Path, options) -> int:
 def cmd_diarize(args) -> int:
     from whisperkit_tpu.pipelines.diarize import DiarizePipeline, DiarizationOptions
 
+    _probe_device_or_raise(args)
     pipe = DiarizePipeline.from_pretrained(model_folder=args.model_folder)
     result = pipe.diarize(
         args.audio_path,
@@ -338,6 +384,7 @@ def cmd_diarize(args) -> int:
 def cmd_tts(args) -> int:
     from whisperkit_tpu.pipelines.tts import TTSPipeline, GenerationOptions
 
+    _probe_device_or_raise(args)
     pipe = TTSPipeline.from_pretrained(model_folder=args.model_folder)
     result = pipe.generate(
         args.text,
@@ -363,15 +410,6 @@ def cmd_tts(args) -> int:
 def cmd_serve(args) -> int:
     from whisperkit_tpu.server.openai_api import serve
 
-    if args.device_probe_timeout > 0:
-        # fail fast instead of hanging at the first jax call when the
-        # remote accelerator is unreachable (core/device_probe.py)
-        from whisperkit_tpu.core.device_probe import probe_backend
-
-        res = probe_backend(args.device_probe_timeout)
-        if not res.ok:
-            print(f"device probe failed: {res.message}", file=sys.stderr)
-            return 1
     pipe = _build_pipeline(args)
     serve(pipe, host=args.host, port=args.port)
     return 0
@@ -385,7 +423,11 @@ def main(argv=None) -> int:
         "tts": cmd_tts,
         "serve": cmd_serve,
     }
-    return handlers[args.command](args)
+    try:
+        return handlers[args.command](args)
+    except DeviceUnavailable as e:
+        print(f"device probe failed: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

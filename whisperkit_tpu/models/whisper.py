@@ -214,6 +214,15 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
 
 
+def _q8_row_quantize(x32):
+    """Symmetric per-row int8 over the last axis of an f32 array →
+    (int8, scale f32 [..., 1]). THE row-quantization recipe — the einsum
+    paths, the Pallas-gate branch, and the tests must all share it so a
+    change (clip range, scale floor) cannot silently diverge."""
+    scale = jnp.maximum(jnp.abs(x32).max(axis=-1, keepdims=True) / 127.0, 1e-8)
+    return jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8), scale
+
+
 def _q8_rows(x):
     """Per-token symmetric int8 over the last (Dh) axis.
 
@@ -254,8 +263,7 @@ def _attend_self_q8(q, k, v, mask=None, capture_probs=False):
     b=32 serving step) and this halves the bytes of every self-KV read."""
     dh = q.shape[-1]
     qs = q.astype(jnp.float32) * (dh**-0.5)
-    q_scale = jnp.maximum(jnp.abs(qs).max(axis=-1, keepdims=True) / 127.0, 1e-8)
-    qi = jnp.clip(jnp.round(qs / q_scale), -127, 127).astype(jnp.int8)
+    qi, q_scale = _q8_row_quantize(qs)
     scores_i = jnp.einsum(
         "bhtd,bhsd->bhts", qi, k["q8"], preferred_element_type=jnp.int32
     )
@@ -427,8 +435,7 @@ def _cross_attend(cq, ck, cv, capture_probs: bool):
         )
     scale = cq.shape[-1] ** -0.25  # same dh^-.25 on q as _attend (k's is folded)
     qs = cq.astype(jnp.float32) * (scale * scale) * ck["scale"]
-    q_scale = jnp.maximum(jnp.abs(qs).max(axis=-1, keepdims=True) / 127.0, 1e-8)
-    qi = jnp.clip(jnp.round(qs / q_scale), -127, 127).astype(jnp.int8)
+    qi, q_scale = _q8_row_quantize(qs)
     if (
         cq.shape[-2] == 1
         and not capture_probs
@@ -688,14 +695,9 @@ def decoder_forward(
                             self_attend_q8_pallas,
                         )
 
-                        qs8 = q.astype(jnp.float32) * (dh**-0.5)
-                        q_sc = jnp.maximum(
-                            jnp.abs(qs8).max(axis=-1, keepdims=True) / 127.0,
-                            1e-8,
+                        qi8, q_sc = _q8_row_quantize(
+                            q.astype(jnp.float32) * (dh**-0.5)
                         )
-                        qi8 = jnp.clip(
-                            jnp.round(qs8 / q_sc), -127, 127
-                        ).astype(jnp.int8)
                         attn = self_attend_q8_pallas(
                             qi8, q_sc, kk_li["q8"],
                             kk_li["scale"].astype(jnp.float32),

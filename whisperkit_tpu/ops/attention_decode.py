@@ -165,7 +165,7 @@ def _self_decode_q8_kernel(
     o_ref[:, 0] = out_i.astype(jnp.float32) * p_scale
 
 
-def _self_grid_specs(b, h, s, dh, block_b, extra_specs):
+def _self_grid_specs(b, h, s, block_b):
     bb = min(block_b, b)
     while b % bb:
         bb -= 1
@@ -187,7 +187,7 @@ def self_attend_pallas(q, k, v, mask_row, block_b: int = 16):
     -inf/-1e30 beyond the current position). → [B,H,1,Dh] f32.
     """
     b, h, s, dh = k.shape
-    grid, bb, spec, mask_spec = _self_grid_specs(b, h, s, dh, block_b, 0)
+    grid, bb, spec, mask_spec = _self_grid_specs(b, h, s, block_b)
     return pl.pallas_call(
         _self_decode_kernel,
         grid=grid,
@@ -212,7 +212,7 @@ def self_attend_q8_pallas(
     caller's row quantization; k/v scales are [B,H,S,1] f32 per-token.
     → [B,H,1,Dh] f32."""
     b, h, s, dh = k_q8.shape
-    grid, bb, spec, mask_spec = _self_grid_specs(b, h, s, dh, block_b, 0)
+    grid, bb, spec, mask_spec = _self_grid_specs(b, h, s, block_b)
     return pl.pallas_call(
         _self_decode_q8_kernel,
         grid=grid,
