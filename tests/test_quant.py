@@ -388,8 +388,9 @@ def test_pipeline_quantized_cross_kv_with_word_timestamps():
 
 
 # ---------------------------------------------------------------------------
-# W4A16 (group-wise int4 — the reference's 4-bit palettized variant family,
-# fastlane/Fastfile:26-55, as a TPU-native S4 form)
+# W4A16 (group-wise 4-bit — the reference's 4-bit palettized variant family,
+# fastlane/Fastfile:26-55, as nibble-packed uint8: native S4 cannot cross a
+# jit boundary on the axon backend, tools/probe_int4_device.py)
 # ---------------------------------------------------------------------------
 
 
@@ -403,8 +404,8 @@ def test_w4_quantize_roundtrip_and_matmul():
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.standard_normal((128, 96)) * 0.02, jnp.float32)
     q = quantize_weight_w4(w)
-    assert q["w_q4"].dtype == jnp.int4
-    assert q["w_q4"].shape == (128, 96)
+    assert q["w_q4"].dtype == jnp.uint8  # two nibbles per byte along in
+    assert q["w_q4"].shape == (64, 96)
     assert q["scale4"].shape == (2, 96)  # group=64 → 2 groups
     back = np.asarray(dequantize_weight_w4(q, jnp.float32))
     # per-element error is bounded by half a quantization step of its group
@@ -440,8 +441,8 @@ def test_w4_whisper_params_structure_and_size():
     q4 = quantize_whisper_params(params, min_size=1, bits=4)
     blocks = q4["encoder"]["blocks"]
     assert "w_q4" in blocks["fc1"] and "scale4" in blocks["fc1"]
-    assert blocks["fc1"]["w_q4"].dtype == jnp.int4
-    # stacked [L, in, out] + stacked scales [L, g, out]
+    assert blocks["fc1"]["w_q4"].dtype == jnp.uint8
+    # stacked [L, in/2, out] + stacked scales [L, g, out]
     L = DIMS.n_audio_layer
     assert blocks["fc1"]["w_q4"].shape[0] == L
     assert blocks["fc1"]["scale4"].shape[0] == L
@@ -524,7 +525,7 @@ def test_tts_w4_quantization_pipeline():
     q4 = quantize_tts_params(params, min_size=1, bits=4)
     q8 = quantize_tts_params(params, min_size=1)
     assert quantized_size_bytes(q4) < quantized_size_bytes(q8)
-    assert q4["blocks"]["wq"]["w_q4"].dtype == jnp.int4
+    assert q4["blocks"]["wq"]["w_q4"].dtype == jnp.uint8
 
     embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 4, dims.d_model)) * 0.1
     kv = init_code_kv_cache(dims, 2, 16)

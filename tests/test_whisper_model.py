@@ -282,8 +282,8 @@ def test_load_whisper_rejects_unknown_scheme(torch_whisper):
 
 
 def test_quantized_cache_roundtrips_int4_leaves(tmp_path):
-    """int4 leaves must survive the Orbax save/restore (S4 is byte-backed
-    on host): use dims large enough to cross the min_size gate."""
+    """Packed 4-bit leaves must survive the Orbax save/restore: use dims
+    large enough to cross the min_size gate."""
     import torch
     from transformers import WhisperConfig, WhisperForConditionalGeneration
 
@@ -294,14 +294,14 @@ def test_quantized_cache_roundtrips_int4_leaves(tmp_path):
     )
     dims, params, _ = load_whisper(tmp_path, quantization="w4a16")
     fc1 = params["encoder"]["blocks"]["fc1"]
-    assert "w_q4" in fc1 and fc1["w_q4"].dtype == jnp.int4
+    assert "w_q4" in fc1 and fc1["w_q4"].dtype == jnp.uint8
     from whisperkit_tpu.models.loader import load_quantized
 
     _, params2 = load_quantized(tmp_path, "w4a16")
     fc1b = params2["encoder"]["blocks"]["fc1"]
-    assert fc1b["w_q4"].dtype == jnp.int4
+    assert fc1b["w_q4"].dtype == jnp.uint8
     np.testing.assert_array_equal(
-        np.asarray(fc1["w_q4"], np.int8), np.asarray(fc1b["w_q4"], np.int8)
+        np.asarray(fc1["w_q4"], np.uint8), np.asarray(fc1b["w_q4"], np.uint8)
     )
     np.testing.assert_array_equal(
         np.asarray(fc1["scale4"], np.float32),

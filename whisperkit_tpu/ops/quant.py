@@ -47,30 +47,38 @@ def quantized_matmul(x: jnp.ndarray, q: dict) -> jnp.ndarray:
 # --- W4A16 (4-bit weights, group-wise scales) --------------------------------
 # TPU-native analog of the reference's 4-bit palettized model family (the
 # 626/632 MB compressed variants, fastlane/Fastfile:26-55): instead of a
-# k-means LUT per weight group (an ANE-friendly layout), symmetric int4 with
-# one bf16 scale per `group` input rows per output channel — XLA stores S4
-# packed two-per-byte on TPU, so the bandwidth-bound decode loop reads 4 bits
-# per weight, and the dequant (convert × broadcast scale) fuses into the
-# matmul operand read exactly like the W8A16 path.
+# k-means LUT per weight group (an ANE-friendly layout), symmetric 4-bit with
+# one bf16 scale per `group` input rows per output channel. The 4-bit codes
+# are MANUALLY nibble-packed into uint8 (adjacent input rows share a byte:
+# row 2i in the low nibble, 2i+1 in the high) rather than stored as native
+# S4 — tools/probe_int4_device.py (r7) showed S4 arrays cannot cross a jit
+# boundary on the axon remote backend at all (`device_put` of a sub-byte
+# dtype with an explicit tiled layout recurses). The unpack (mask/shift/
+# convert × broadcast scale) is an elementwise chain XLA fuses into the
+# matmul operand read exactly like the W8A16 dequant, so the bandwidth-bound
+# decode loop still reads 4 bits per weight from HBM.
 
 W4_GROUP = 64  # rows per scale group; divides every Whisper linear's d_model
 
 
 def quantize_weight_w4(w: jnp.ndarray, group: int = W4_GROUP) -> dict:
-    """[in, out] float → {"w_q4" int4 [in, out], "scale4" bf16 [in/group, out]}
-    (symmetric per-(group × output-channel) scales; falls back to one group
-    when `group` doesn't divide the input dim)."""
+    """[in, out] float → {"w_q4" uint8 [in/2, out] (two nibbles along in),
+    "scale4" bf16 [in/group, out]} (symmetric per-(group × output-channel)
+    scales; falls back to one group when `group` doesn't divide the input
+    dim). Requires an even input dim (every supported model's is)."""
     w32 = w.astype(jnp.float32)
     din, dout = w32.shape
+    assert din % 2 == 0, f"W4A16 needs an even input dim, got {din}"
     if din % group:
         group = din
     g = din // group
     wg = w32.reshape(g, group, dout)
     max_abs = jnp.max(jnp.abs(wg), axis=1)  # [g, out]
     scale = jnp.maximum(max_abs / 7.0, 1e-8)
-    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7).reshape(din, dout)
+    u = (q.astype(jnp.int8) + 8).astype(jnp.uint8)  # codes in [1, 15]
     return {
-        "w_q4": q.astype(jnp.int4).reshape(din, dout),
+        "w_q4": u[0::2] | (u[1::2] << 4),
         "scale4": scale.astype(jnp.bfloat16),
     }
 
@@ -78,18 +86,27 @@ def quantize_weight_w4(w: jnp.ndarray, group: int = W4_GROUP) -> dict:
 def _scale4_full(q: dict, dtype) -> jnp.ndarray:
     """Broadcast the [g, out] group scales to the full [in, out] shape (a
     broadcast+reshape — stays inside the consumer fusion, never hits HBM)."""
-    din, dout = q["w_q4"].shape
+    din, dout = 2 * q["w_q4"].shape[0], q["w_q4"].shape[1]
     g = q["scale4"].shape[0]
     return jnp.broadcast_to(
         q["scale4"].astype(dtype)[:, None, :], (g, din // g, dout)
     ).reshape(din, dout)
 
 
+def _unpack4(packed: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [in/2, out] → int8 [in, out] codes in [-7, 7] (row 2i from the
+    low nibble, 2i+1 from the high — the inverse of quantize_weight_w4)."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    half, dout = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * half, dout)
+
+
 def w4_dequant(q: dict, dtype) -> jnp.ndarray:
     """Dequantize a 2D {"w_q4","scale4"} dict to `dtype` — an elementwise
-    convert × broadcast-scale chain that XLA fuses into whatever consumes
-    it (matmul operand reads on the hot paths)."""
-    return q["w_q4"].astype(dtype) * _scale4_full(q, dtype)
+    unpack/convert × broadcast-scale chain that XLA fuses into whatever
+    consumes it (matmul operand reads on the hot paths)."""
+    return _unpack4(q["w_q4"]).astype(dtype) * _scale4_full(q, dtype)
 
 
 def dequantize_weight_w4(q: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -147,14 +164,11 @@ def quantize_whisper_params(
 
 
 def quantized_size_bytes(params: PyTree) -> int:
-    """Device-resident parameter bytes (XLA packs S4 two-per-byte on TPU,
-    so int4 leaves count 4 bits each — numpy's byte-backed view would
-    double-count them)."""
+    """Device-resident parameter bytes (W4A16 leaves are already manually
+    nibble-packed into uint8, so a plain itemsize sum is exact)."""
     leaves = jax.tree.leaves(params)
     return sum(
-        (x.size + 1) // 2 if x.dtype == jnp.int4 else x.size * x.dtype.itemsize
-        for x in leaves
-        if hasattr(x, "size")
+        x.size * x.dtype.itemsize for x in leaves if hasattr(x, "size")
     )
 
 
