@@ -391,9 +391,9 @@ def _mm(x, w):
     TTS components, Qwen3Config.swift:106-112, and 4-bit palettized model
     folders, fastlane/Fastfile:26-55)."""
     if isinstance(w, dict) and "w_q4" in w:
-        from whisperkit_tpu.ops.quant import w4_dequant
+        from whisperkit_tpu.ops.quant import quantized_matmul_w4
 
-        w = w4_dequant(w, x.dtype)
+        return quantized_matmul_w4(x, w)  # two half-dots; never forms w
     elif isinstance(w, dict) and "w_q" in w:
         w = w["w_q"].astype(x.dtype) * w["scale"].astype(x.dtype)
     return x @ w
@@ -675,16 +675,21 @@ def multicode_forward(
         last, kv_k, kv_v, key, csum, i = carry
         head_i, embed_i = xs
         if isinstance(head_i, dict) and "w_q4" in head_i:  # W4A16 head
-            from whisperkit_tpu.ops.quant import w4_dequant
+            from whisperkit_tpu.ops.quant import quantized_matmul_w4
 
-            w_i = w4_dequant(head_i, last.dtype)
-        elif isinstance(head_i, dict):  # W8A16: dequant this head's slice
-            w_i = head_i["w_q"].astype(last.dtype) * head_i["scale"].astype(last.dtype)
+            logits = quantized_matmul_w4(
+                last, head_i, preferred_element_type=jnp.float32
+            )
         else:
-            w_i = head_i
-        logits = jnp.einsum(
-            "bd,dv->bv", last, w_i, preferred_element_type=jnp.float32
-        )
+            if isinstance(head_i, dict):  # W8A16: dequant this head's slice
+                w_i = head_i["w_q"].astype(last.dtype) * head_i["scale"].astype(
+                    last.dtype
+                )
+            else:
+                w_i = head_i
+            logits = jnp.einsum(
+                "bd,dv->bv", last, w_i, preferred_element_type=jnp.float32
+            )
         key, sub = jax.random.split(key)
         code = _sample_topk(logits, sub, temperature, top_k)
         emb = embed_i[code].astype(last.dtype)  # [B, D]

@@ -49,23 +49,27 @@ def quantized_matmul(x: jnp.ndarray, q: dict) -> jnp.ndarray:
 # 626/632 MB compressed variants, fastlane/Fastfile:26-55): instead of a
 # k-means LUT per weight group (an ANE-friendly layout), symmetric 4-bit with
 # one bf16 scale per `group` input rows per output channel. The 4-bit codes
-# are MANUALLY nibble-packed into uint8 (adjacent input rows share a byte:
-# row 2i in the low nibble, 2i+1 in the high) rather than stored as native
-# S4 — tools/probe_int4_device.py (r7) showed S4 arrays cannot cross a jit
+# are MANUALLY nibble-packed into uint8 rather than stored as native S4 —
+# tools/probe_int4_device.py (r7) showed S4 arrays cannot cross a jit
 # boundary on the axon remote backend at all (`device_put` of a sub-byte
-# dtype with an explicit tiled layout recurses). The unpack (mask/shift/
-# convert × broadcast scale) is an elementwise chain XLA fuses into the
-# matmul operand read exactly like the W8A16 dequant, so the bandwidth-bound
-# decode loop still reads 4 bits per weight from HBM.
+# dtype with an explicit tiled layout recurses). Packing is by HALF-PLANES
+# (byte row p holds original row p in the low nibble and row p + in/2 in
+# the high), NOT by adjacent-row interleave: an interleaving unpack needs a
+# stack+reshape that XLA materializes as a full bf16 weight copy per step
+# (measured r7: 20.6 ms/step large-v3 b=1 vs 2.2 W8A16), while the plane
+# form turns x @ w into two half-dots plus an output add with the
+# mask/shift/convert × scale chain fused into each dot's operand read —
+# no relayout anywhere.
 
 W4_GROUP = 64  # rows per scale group; divides every Whisper linear's d_model
 
 
 def quantize_weight_w4(w: jnp.ndarray, group: int = W4_GROUP) -> dict:
-    """[in, out] float → {"w_q4" uint8 [in/2, out] (two nibbles along in),
-    "scale4" bf16 [in/group, out]} (symmetric per-(group × output-channel)
-    scales; falls back to one group when `group` doesn't divide the input
-    dim). Requires an even input dim (every supported model's is)."""
+    """[in, out] float → {"w_q4" uint8 [in/2, out] (half-plane nibbles:
+    row p low = original row p, high = row p + in/2), "scale4" bf16
+    [in/group, out]} (symmetric per-(group × output-channel) scales; falls
+    back to one group when `group` doesn't divide the input dim). Requires
+    an even input dim (every supported model's is)."""
     w32 = w.astype(jnp.float32)
     din, dout = w32.shape
     assert din % 2 == 0, f"W4A16 needs an even input dim, got {din}"
@@ -77,8 +81,9 @@ def quantize_weight_w4(w: jnp.ndarray, group: int = W4_GROUP) -> dict:
     scale = jnp.maximum(max_abs / 7.0, 1e-8)
     q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7).reshape(din, dout)
     u = (q.astype(jnp.int8) + 8).astype(jnp.uint8)  # codes in [1, 15]
+    half = din // 2
     return {
-        "w_q4": u[0::2] | (u[1::2] << 4),
+        "w_q4": u[:half] | (u[half:] << 4),
         "scale4": scale.astype(jnp.bfloat16),
     }
 
@@ -93,32 +98,55 @@ def _scale4_full(q: dict, dtype) -> jnp.ndarray:
     ).reshape(din, dout)
 
 
-def _unpack4(packed: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [in/2, out] → int8 [in, out] codes in [-7, 7] (row 2i from the
-    low nibble, 2i+1 from the high — the inverse of quantize_weight_w4)."""
+def _unpack4_planes(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """uint8 [in/2, out] → (lo, hi) int8 [in/2, out] codes in [-7, 7]: lo is
+    original rows [0, in/2), hi is rows [in/2, in) — the inverse of
+    quantize_weight_w4's half-plane packing."""
     lo = (packed & 0xF).astype(jnp.int8) - 8
     hi = (packed >> 4).astype(jnp.int8) - 8
-    half, dout = packed.shape
-    return jnp.stack([lo, hi], axis=1).reshape(2 * half, dout)
+    return lo, hi
 
 
 def w4_dequant(q: dict, dtype) -> jnp.ndarray:
-    """Dequantize a 2D {"w_q4","scale4"} dict to `dtype` — an elementwise
-    unpack/convert × broadcast-scale chain that XLA fuses into whatever
-    consumes it (matmul operand reads on the hot paths)."""
-    return _unpack4(q["w_q4"]).astype(dtype) * _scale4_full(q, dtype)
+    """Dequantize a 2D {"w_q4","scale4"} dict to the full [in, out] weight.
+    The plane concat materializes — use quantized_matmul_w4 on hot paths
+    (it never forms the full weight); this form is for parity tests and
+    cold one-shot consumers."""
+    lo, hi = _unpack4_planes(q["w_q4"])
+    s = _scale4_full(q, dtype)
+    half = lo.shape[0]
+    return jnp.concatenate(
+        [lo.astype(dtype) * s[:half], hi.astype(dtype) * s[half:]], axis=0
+    )
 
 
 def dequantize_weight_w4(q: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     return w4_dequant(q, jnp.float32).astype(dtype)
 
 
-def quantized_matmul_w4(x: jnp.ndarray, q: dict) -> jnp.ndarray:
-    """x [..., in] @ dequant4(w): only int4 (packed) bytes + [in/group, out]
-    scales cross HBM; the convert/scale chain fuses into the dot's operand
-    read. Kept as a plain 2D dot (not a grouped einsum) so Megatron row/
-    column sharding of w_q4 partitions exactly like the bf16/W8A16 paths."""
-    return jnp.dot(x, w4_dequant(q, x.dtype))
+def quantized_matmul_w4(
+    x: jnp.ndarray, q: dict, preferred_element_type=None
+) -> jnp.ndarray:
+    """x [..., in] @ dequant4(w) WITHOUT materializing the full weight:
+    two half-dots (x's low features against the low-nibble plane, high
+    features against the high plane) summed on the tiny output — the
+    mask/shift/convert × group-scale chain fuses into each dot's operand
+    read, so only packed 4-bit bytes + [in/group, out] scales cross HBM.
+    Plain 2D dots so Megatron row/column sharding of w_q4 partitions like
+    the bf16/W8A16 paths."""
+    lo, hi = _unpack4_planes(q["w_q4"])
+    s = _scale4_full(q, x.dtype)
+    half = lo.shape[0]
+    y = jnp.dot(
+        x[..., :half],
+        lo.astype(x.dtype) * s[:half],
+        preferred_element_type=preferred_element_type,
+    )
+    return y + jnp.dot(
+        x[..., half:],
+        hi.astype(x.dtype) * s[half:],
+        preferred_element_type=preferred_element_type,
+    )
 
 
 # param-dict keys that hold LINEAR weights ([in, out] or stacked
