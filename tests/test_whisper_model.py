@@ -275,6 +275,30 @@ def test_quantized_checkpoint_cache(torch_whisper):
             )
 
 
+def test_quantized_cache_rejects_stale_pack_format(torch_whisper):
+    """A quantized cache written under a different packed-weight layout
+    (ops/quant.QUANT_FORMAT) reads back with identical dtype/shape but
+    garbage values — the loader must reject it and requantize, not restore
+    it (the r6→r7 S4→half-plane repack is exactly this hazard)."""
+    import json as _json
+
+    _, folder = torch_whisper
+    from pathlib import Path
+
+    from whisperkit_tpu.models.loader import load_quantized
+
+    load_whisper(folder, quantization="w4a16")  # writes the cache
+    dims_path = Path(folder) / "quantized_w4a16_dims.json"
+    meta = _json.loads(dims_path.read_text())
+    assert meta["_quant_format"] >= 2
+    meta["_quant_format"] = 1  # pretend the cache predates the repack
+    dims_path.write_text(_json.dumps(meta))
+    assert load_quantized(folder, "w4a16") is None
+    # the pipeline-level load self-heals: requantizes and rewrites the cache
+    load_whisper(folder, quantization="w4a16")
+    assert _json.loads(dims_path.read_text())["_quant_format"] >= 2
+
+
 def test_load_whisper_rejects_unknown_scheme(torch_whisper):
     _, folder = torch_whisper
     with pytest.raises(ValueError, match="unknown quantization scheme"):

@@ -284,7 +284,11 @@ def save_quantized(
     with open(folder / f"quantized_{scheme}_dims.json", "w") as f:
         import dataclasses
 
-        json.dump(dataclasses.asdict(dims), f)
+        from whisperkit_tpu.ops.quant import QUANT_FORMAT
+
+        json.dump(
+            {**dataclasses.asdict(dims), "_quant_format": QUANT_FORMAT}, f
+        )
     return ckpt
 
 
@@ -299,7 +303,7 @@ def load_quantized(
     import jax
     import orbax.checkpoint as ocp
 
-    from whisperkit_tpu.ops.quant import quantize_whisper_params
+    from whisperkit_tpu.ops.quant import QUANT_FORMAT, quantize_whisper_params
 
     folder = Path(folder).resolve()
     ckpt = folder / f"quantized_{scheme}.orbax"
@@ -307,7 +311,17 @@ def load_quantized(
     if not (ckpt.exists() and dims_path.exists()):
         return None
     with open(dims_path) as f:
-        dims = WhisperDims(**json.load(f))
+        meta = json.load(f)
+    # caches record the packed representation's format: a layout change
+    # (e.g. the r7 S4→half-plane-uint8 repack) reads back with identical
+    # dtype/shape but garbage values, so any mismatch means requantize
+    # (pre-versioning caches carry no key and count as format 1)
+    if meta.pop("_quant_format", 1) != QUANT_FORMAT:
+        logging.debug(
+            f"quantized cache {ckpt.name} has a stale pack format; requantizing"
+        )
+        return None
+    dims = WhisperDims(**meta)
     bits = 4 if scheme == "w4a16" else 8
     abstract = jax.eval_shape(
         lambda p: quantize_whisper_params(p, bits=bits),

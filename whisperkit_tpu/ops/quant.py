@@ -63,6 +63,15 @@ def quantized_matmul(x: jnp.ndarray, q: dict) -> jnp.ndarray:
 
 W4_GROUP = 64  # rows per scale group; divides every Whisper linear's d_model
 
+# On-disk quantized-cache format version (models/loader.save_quantized).
+# The packed W4A16 bytes are layout-dependent — a cache written under one
+# packing reads back with identical dtype/shape under another, silently
+# dequantizing garbage — so the loader rejects caches whose recorded format
+# differs and requantizes instead. Bump whenever the stored representation
+# changes. 1: native S4 / interleaved nibbles (r6, never shippable — S4
+# cannot cross the axon jit boundary); 2: half-plane nibble-packed uint8.
+QUANT_FORMAT = 2
+
 
 def quantize_weight_w4(w: jnp.ndarray, group: int = W4_GROUP) -> dict:
     """[in, out] float → {"w_q4" uint8 [in/2, out] (half-plane nibbles:
