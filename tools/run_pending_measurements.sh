@@ -1,8 +1,9 @@
 #!/bin/bash
-# All TPU measurements pending from the r6 session (tunnel was down for
-# hours; CLAUDE.md tunnel-outage note). Serialized — the box has ONE host
-# core and concurrent TPU runs contend. Each step logs to
-# /tmp/wktpu_measurements/<name>.log; a step failing does not stop the rest.
+# TPU measurement sweep (originally the r6 backlog; ALL steps were measured
+# in r7 — results recorded in docs/BENCHMARKS.md "round 6" table — so this
+# now serves as the rerun harness for fresh hardware/sessions). Serialized —
+# the box has ONE host core and concurrent TPU runs contend. Each step logs
+# to /tmp/wktpu_measurements/<name>.log; a step failing does not stop the rest.
 #
 # Run: bash tools/run_pending_measurements.sh [outdir]
 set -u
