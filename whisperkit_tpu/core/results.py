@@ -43,6 +43,10 @@ class TranscriptionSegment:
     no_speech_prob: float = 0.0
     words: Optional[list[WordTiming]] = None
     speaker: Optional[str] = None  # set by DiarizationResult.add_speaker_info
+    # language the segment's window decoded with (per-window detection on
+    # code-switched audio makes this vary within one result; the reference
+    # records language per DecodingResult, Models.swift:383-439)
+    language: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -765,13 +765,26 @@ class WhisperPipeline:
     def _transcribe_short_batch(
         self, audios: list, options: DecodingOptions
     ) -> list:
-        """Decode N ≤30 s clips as one batch."""
+        """Decode N ≤30 s clips as one batch.
+
+        Language is resolved PER ROW: the rows are unrelated files, so
+        detection must not average across them (reference: each item's
+        TranscribeTask detects its own language, TextDecoder.swift:420).
+        `_decode_with_fallback` already takes a per-row language list —
+        rows with different languages share one static-shape batched
+        decode (only the language TOKEN differs).
+        """
         t0 = time.perf_counter()
         mel_batch = jnp.stack(self._mel_many(audios))
         _, ck, cv = self._encode(mel_batch, options)
         self._detected_language = None
-        language = self._resolve_language(options, ck, cv)
-        decodes = self._decode_with_fallback(ck, cv, options, language, 0)
+        if options.language:
+            langs: list[str] = [options.language] * len(audios)
+        elif not self.is_multilingual:
+            langs = ["en"] * len(audios)
+        else:
+            langs = self._detect_languages_per_row(ck, cv, len(audios))
+        decodes = self._decode_with_fallback(ck, cv, options, langs, 0)
         sp = self.tokenizer.special
         out = []
         for a, wd in zip(audios, decodes):
@@ -792,9 +805,11 @@ class WhisperPipeline:
                     segments = self._add_word_timestamps(
                         segments, wd, 0.0, window_frames, options
                     )
+                for s in segments:
+                    s.language = wd.language
             result = TranscriptionResult(
                 text="".join(s.text for s in segments).strip(),
-                segments=segments, language=language,
+                segments=segments, language=wd.language,
             )
             result.timings.input_audio_seconds = len(a) / SAMPLE_RATE
             result.timings.full_pipeline = time.perf_counter() - t0
@@ -861,7 +876,6 @@ class WhisperPipeline:
             range(len(chunks)), key=lambda i: len(chunks[i].audio_samples)
         )
         decodes: list[Optional[_WindowDecode]] = [None] * len(mels)
-        language = options.language or None
         decoded_count = 0
         cancelled = False
         for start in range(0, len(order), group):
@@ -877,14 +891,34 @@ class WhisperPipeline:
                 from whisperkit_tpu.parallel.mesh import shard_batch
 
                 mel_batch = shard_batch(plan, mel_batch)
+            # windowPreprocess hook, once per real window of the group
+            # (reference: TranscribeTask.swift:42-47 fires it for every
+            # window of every VAD chunk). NOTE: chunks decode in
+            # length-sorted order, so preprocess hooks fire out of
+            # chronological order; window_post_process below fires in
+            # chronological (assembly) order.
+            for i in batch_ids:
+                self.window_preprocess(
+                    chunks[i].audio_samples, metas[i][0] // 160, metas[i][1]
+                )
             _, ck, cv = self._encode(mel_batch, options)
             self.timings.total_encoding_runs += n_real
-            # per-group language resolve: detect_language=True re-detects
+            # language resolve: detect_language=True re-detects PER ROW
             # every group (reference re-detects every window,
-            # TranscribeTask.swift:327); unset language detects once/file
-            language = self._resolve_language(options, ck, cv, n_real)
+            # TranscribeTask.swift:327 → TextDecoder.swift:420 — and the
+            # rows are different time ranges, so code-switched audio gets
+            # per-window languages); an unset language detects once/file
+            if options.language:
+                group_langs = [options.language] * group
+            elif options.detect_language and self.is_multilingual:
+                row_langs = self._detect_languages_per_row(ck, cv, n_real)
+                group_langs = row_langs + [row_langs[0]] * (group - n_real)
+            else:
+                group_langs = [
+                    self._resolve_language(options, ck, cv, n_real)
+                ] * group
             batch_decodes = self._decode_with_fallback(
-                ck, cv, options, language, start
+                ck, cv, options, group_langs, start
             )[:n_real]
             for i, wd in zip(batch_ids, batch_decodes):
                 decodes[i] = wd
@@ -943,8 +977,24 @@ class WhisperPipeline:
                 segs = self._add_word_timestamps(
                     segs, wd, start_sample / SAMPLE_RATE, window_frames, options
                 )
+            for s in segs:
+                s.language = wd.language
+            segs = self.window_post_process(
+                start_sample // 160, window_frames, segs
+            )
             all_segments.extend(segs)
         text = "".join(s.text for s in all_segments)
+        # result.language = the majority language across decoded windows
+        # (NOT last-group-wins); per-segment .language carries the detail
+        # on code-switched audio
+        window_langs = [wd.language for wd in decodes if wd is not None]
+        if window_langs:
+            counts: dict[str, int] = {}
+            for lg in window_langs:
+                counts[lg] = counts.get(lg, 0) + 1
+            language = max(counts, key=lambda k: (counts[k], -window_langs.index(k)))
+        else:
+            language = options.language
         return TranscriptionResult(
             text=text.strip(), segments=all_segments, language=language or "en"
         )
@@ -1091,6 +1141,8 @@ class WhisperPipeline:
                     segs = self._add_word_timestamps(
                         segs, wd, seek / FRAMES_PER_SECOND, window_frames, options
                     )
+                for s in segs:
+                    s.language = wd.language
                 segs = self.window_post_process(seek, window_frames, segs)
                 all_segments.extend(segs)
 

@@ -64,6 +64,10 @@ class WriteJSON(ResultWriter):
                 "compressionRatio": s.compression_ratio,
                 "noSpeechProb": s.no_speech_prob,
             }
+            if s.language is not None:
+                # per-window detected language (varies within one result
+                # on code-switched audio with detect_language=True)
+                d["language"] = s.language
             if s.words:
                 d["words"] = [
                     {
