@@ -2,50 +2,115 @@
 
 Builds the shared library on first use if the toolchain is available; degrades
 gracefully (callers fall back to the pure-NumPy WAV parser).
+
+Library discovery works in BOTH layouts (reference analog: SPM compiles at
+install time, Package.swift; a wheel can't assume that):
+  1. `WKTPU_NATIVE_LIB` env var — explicit .so path;
+  2. `whisperkit_tpu/_native/libwhisperkit_audio.so` — prebuilt inside an
+     installed wheel (setup.py build hook);
+  3. `<repo>/native/libwhisperkit_audio.so` — the dev checkout layout;
+  4. lazily built into `~/.cache/whisperkit_tpu/native/` from the sources
+     shipped with the package (`_native/`) or the repo checkout.
 """
 
 from __future__ import annotations
 
-import ctypes
+import os
+import shutil
 import subprocess
 import threading
 from pathlib import Path
 from typing import Optional, Tuple
+
+import ctypes
 
 import numpy as np
 
 from whisperkit_tpu.core.errors import LoadAudioFailed
 from whisperkit_tpu.core.logging import logging
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-_LIB_PATH = _NATIVE_DIR / "libwhisperkit_audio.so"
+_LIB_NAME = "libwhisperkit_audio.so"
+_PKG_NATIVE_DIR = Path(__file__).resolve().parent.parent / "_native"
+_REPO_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SOURCES = ("audio_decoder.cpp", "Makefile")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_attempted = False
 
 
+def _cache_native_dir() -> Path:
+    base = Path(
+        os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
+    )
+    return base / "whisperkit_tpu" / "native"
+
+
+def _candidate_paths() -> list[Path]:
+    paths = []
+    env = os.environ.get("WKTPU_NATIVE_LIB")
+    if env:
+        paths.append(Path(env))
+    paths.append(_PKG_NATIVE_DIR / _LIB_NAME)
+    paths.append(_REPO_NATIVE_DIR / _LIB_NAME)
+    paths.append(_cache_native_dir() / _LIB_NAME)
+    return paths
+
+
+def _source_dir() -> Optional[Path]:
+    for d in (_REPO_NATIVE_DIR, _PKG_NATIVE_DIR):
+        if all((d / s).exists() for s in _SOURCES):
+            return d
+    return None
+
+
+def _build() -> Optional[Path]:
+    """Compile the decoder. Prefers building in place next to the sources
+    (dev checkout); falls back to the user cache dir (installed wheel whose
+    site-packages may be read-only)."""
+    src = _source_dir()
+    if src is None:
+        return None
+    build_dirs = [src] if os.access(src, os.W_OK) else []
+    build_dirs.append(_cache_native_dir())
+    for d in build_dirs:
+        try:
+            if d != src:
+                d.mkdir(parents=True, exist_ok=True)
+                for s in _SOURCES:
+                    shutil.copy2(src / s, d / s)
+            subprocess.run(
+                ["make", "-C", str(d)],
+                check=True, capture_output=True, timeout=300,
+            )
+            if (d / _LIB_NAME).exists():
+                return d / _LIB_NAME
+        except Exception as e:  # noqa: BLE001
+            logging.debug(f"native audio decoder build in {d} failed: {e}")
+    return None
+
+
+def _find_lib() -> Optional[Path]:
+    global _build_attempted
+    for p in _candidate_paths():
+        if p.exists():
+            return p
+    if not _build_attempted:
+        _build_attempted = True
+        return _build()
+    return None
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _build_attempted
+    global _lib
     with _lock:
         if _lib is not None:
             return _lib
-        if not _LIB_PATH.exists() and not _build_attempted:
-            _build_attempted = True
-            try:
-                subprocess.run(
-                    ["make", "-C", str(_NATIVE_DIR)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception as e:  # noqa: BLE001
-                logging.debug(f"native audio decoder build failed: {e}")
-                return None
-        if not _LIB_PATH.exists():
+        path = _find_lib()
+        if path is None:
             return None
         try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib = ctypes.CDLL(str(path))
         except OSError as e:
             logging.debug(f"failed to load native audio decoder: {e}")
             return None
