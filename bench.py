@@ -154,10 +154,15 @@ def main() -> None:
 
     def run_pipeline(
         variant_name: str, group: int, int8_kv: bool = False, w8a16: bool = False,
-        w4a16: bool = False,
+        w4a16: bool = False, passes: int | None = None,
     ):
-        """→ (rtf, n_segments, decode_loops, windows); frees the pipeline's
-        device buffers before returning so runs don't contend for HBM."""
+        """→ (rtf, pass_rtfs, n_segments, decode_loops, windows); frees the
+        pipeline's device buffers before returning so runs don't contend
+        for HBM. rtf is the WORST of the timed passes (all recorded) —
+        the conservative acceptance methodology (CLAUDE.md / BENCHMARKS
+        "worst-of-N"); within-session passes agree within a few % (r3:
+        0.00682/0.00689) so this costs little margin while cross-session
+        transport drift stays visible via tunnel_dispatch_ms."""
         from whisperkit_tpu.core.configurations import ComputeOptions, WhisperConfig
 
         dims_v = VARIANT_DIMS[variant_name]
@@ -180,18 +185,15 @@ def main() -> None:
         # first timed pass to pay the 20-120 s remote b=32 compiles on a
         # cold cache (r5 review finding)
         pipe.transcribe(audio, options)
-        # two timed passes, best-of (secondaries included): transient
-        # tunnel-RTT windows inflate a single host-driven pass by 2×+
-        # (r5 observed 0.0211 then 0.0079 within one session) while the
-        # on-chip work is identical — see tunnel_dispatch_ms
-        best_dt = None
-        for _ in range(2 if on_tpu else 1):
+        pass_rtfs = []
+        audio_s = len(audio) / 16_000
+        for _ in range(passes if passes is not None else (3 if on_tpu else 1)):
             t0 = time.perf_counter()
             result = pipe.transcribe(audio, options)
-            dt = time.perf_counter() - t0
-            best_dt = dt if best_dt is None else min(best_dt, dt)
+            pass_rtfs.append((time.perf_counter() - t0) / audio_s)
         stats = (
-            best_dt / (len(audio) / 16_000),
+            max(pass_rtfs),
+            [round(r, 5) for r in pass_rtfs],
             len(result.segments),
             int(pipe.timings.total_decoding_loops),
             int(pipe.timings.total_decoding_windows),
@@ -209,17 +211,13 @@ def main() -> None:
     # perf_decode.py) — fits one 16 GB v5e. bf16 at 16-window groups stays
     # a secondary for r2/r3 continuity (b=32 bf16 cannot fit: 7.9 GB
     # cross-KV alone).
-    # Headline = best of two timed passes (both recorded): the tunnel's
-    # dispatch RTT drifts run-to-run (see tunnel_dispatch_ms) and a single
-    # pass can land in a transient bad window; on-chip work is identical.
-    rtf, n_segments, decode_loops, n_windows = run_pipeline(
+    # Headline = WORST of three timed passes (all recorded): matches the
+    # documented worst-of-3 acceptance bar (VERDICT r3 weak #3 closed the
+    # best-of-2 drift). Cross-session transport condition rides along as
+    # tunnel_dispatch_ms + the degraded_tunnel marker below.
+    rtf, headline_runs, n_segments, decode_loops, n_windows = run_pipeline(
         variant, 32 if on_tpu else 4, int8_kv=on_tpu
     )
-    headline_runs = [rtf]
-    if on_tpu:
-        rtf2, _, _, _ = run_pipeline(variant, 32, int8_kv=True)
-        headline_runs.append(rtf2)
-        rtf = min(headline_runs)
     pipeline_s = rtf * len(audio) / 16_000
     dims = VARIANT_DIMS["large-v3-turbo" if on_tpu else "tiny"]
     sp = special_tokens_for_vocab(dims.n_vocab)
@@ -228,16 +226,23 @@ def main() -> None:
     # ---- secondaries: bf16 continuity config + W8A16 + W4A16 + turbo -------
     turbo_rtf = bf16_rtf = quant_rtf = w4_rtf = None
     if on_tpu:
-        bf16_rtf, _, _, _ = run_pipeline(variant, 16)
+        # secondaries: 2 timed passes each (worst-of-2) to bound the
+        # round-end bench wall time; the headline gets the full 3
+        bf16_rtf, _, _, _, _ = run_pipeline(variant, 16, passes=2)
         # W8A16 at b=32 (r4): the r3 OOM was the bf16 cross-KV peak, not
         # the hoisted dequants — with the fused per-layer int8 cross-KV it
         # fits (probe: 0.00591/0.00617, tools/probe_w8a16_b32.py)
-        quant_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True, w8a16=True)
+        quant_rtf, _, _, _, _ = run_pipeline(
+            variant, 32, int8_kv=True, w8a16=True, passes=2
+        )
         try:
-            # W4A16 (r6, 4-bit palettized-variant analog): first measured by
-            # the round-end bench run — guarded so a compile/OOM surprise on
-            # a brand-new config cannot take down the headline output
-            w4_rtf, _, _, _ = run_pipeline(variant, 32, int8_kv=True, w4a16=True)
+            # W4A16 (r6, 4-bit palettized-variant analog): measured slower
+            # than W8A16 (0.01052 vs 0.00662, BENCHMARKS "W4A16") — kept as
+            # a tracked secondary; guarded so a compile/OOM surprise cannot
+            # take down the headline output
+            w4_rtf, _, _, _, _ = run_pipeline(
+                variant, 32, int8_kv=True, w4a16=True, passes=2
+            )
         except Exception:
             import traceback
 
@@ -245,7 +250,7 @@ def main() -> None:
             print("w4a16 secondary failed:", file=sys.stderr)
             traceback.print_exc()
             w4_rtf = None
-        turbo_rtf, _, _, _ = run_pipeline("large-v3-turbo", 32)
+        turbo_rtf, _, _, _, _ = run_pipeline("large-v3-turbo", 32, passes=2)
 
     # ---- secondary: serving under concurrent load (VERDICT r2 #2) ----------
     # 32 simultaneous 30 s requests through BatchScheduler on the blessed
@@ -327,10 +332,18 @@ def main() -> None:
     micro_rtf = (time.perf_counter() - t0) / n_iter / (batch * 30.0)
 
     baseline_rtf = 0.01  # BASELINE.md north-star target
+    tunnel_dispatch_ms_end = measure_tunnel_dispatch_ms()
     secondary = {
         "tunnel_dispatch_ms": tunnel_dispatch_ms,
-        "tunnel_dispatch_ms_end": measure_tunnel_dispatch_ms(),
-        "headline_runs": [round(r, 5) for r in headline_runs],
+        "tunnel_dispatch_ms_end": tunnel_dispatch_ms_end,
+        # mechanical round-over-round comparability marker: a session whose
+        # dispatch RTT exceeds ~20 ms inflates host-driven pipeline numbers
+        # up to ~2× (CLAUDE.md); on-graph micro numbers are immune
+        "degraded_tunnel": bool(
+            on_tpu
+            and max(tunnel_dispatch_ms, tunnel_dispatch_ms_end) > 20.0
+        ),
+        "headline_runs": headline_runs,
         f"micro_rtf_32tok_b{batch}": round(micro_rtf, 5),
         "segments": n_segments,
         "tokens_per_second": round(decode_loops / pipeline_s, 1),
