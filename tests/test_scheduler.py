@@ -215,3 +215,80 @@ def test_scheduler_transcribe_sync_api(pipe):
     res = sched.transcribe(a, DecodingOptions(**OPTS), timeout=300)
     assert res.timings.input_audio_seconds == pytest.approx(1.0, abs=0.05)
     sched.shutdown()
+
+
+def test_scheduler_latency_class_decodes_alone(pipe):
+    """priority="latency" requests never wait to batch and decode at
+    batch 1 even when submitted together (VERDICT r3 #7: the latency class
+    is how a deployment reaches the speculative loop)."""
+    sched = BatchScheduler(pipe, max_batch=8, max_wait_ms=300.0)
+    rng = np.random.default_rng(5)
+    audios = [
+        (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        for _ in range(3)
+    ]
+    opts = DecodingOptions(priority="latency", **OPTS)
+    futures = [sched.submit(a, opts) for a in audios]
+    results = [f.result(timeout=300) for f in futures]
+    assert all(r.segments is not None for r in results)
+    assert sched.batches_run == 3  # one b=1 decode per request
+    # a latency request must match the plain pipeline's solo decode
+    solo = pipe.transcribe(audios[0], DecodingOptions(**OPTS))
+    assert [s.tokens for s in results[0].segments] == [
+        s.tokens for s in solo.segments
+    ]
+    sched.shutdown()
+
+
+def test_scheduler_latency_does_not_break_throughput_batching(pipe):
+    """Mixed submission: throughput requests still coalesce; the latency
+    request runs its own b=1 batch."""
+    sched = BatchScheduler(pipe, max_batch=8, max_wait_ms=300.0)
+    rng = np.random.default_rng(6)
+    a = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    tp = [sched.submit(a, DecodingOptions(**OPTS)) for _ in range(4)]
+    lat = sched.submit(a, DecodingOptions(priority="latency", **OPTS))
+    for f in tp + [lat]:
+        f.result(timeout=300)
+    # 4 throughput jobs coalesce (1-2 batches); + one latency batch
+    assert sched.batches_run <= 3
+    assert sched.jobs_run == 5
+    sched.shutdown()
+
+
+def test_scheduler_latency_runs_speculative_with_draft(pipe, monkeypatch):
+    """A latency-class request on a draft-armed pipeline routes through the
+    lossless draft-verify loop (decoding/speculative.py) — the speculative
+    feature is now reachable from the serving path."""
+    import whisperkit_tpu.pipelines.whisper as wp
+
+    draft_params = init_params(jax.random.PRNGKey(9), DIMS)
+    spec_pipe = WhisperPipeline(
+        dims=DIMS, params=pipe.params,
+        draft_dims=DIMS, draft_params=draft_params,
+    )
+    calls = []
+    orig = None
+    from whisperkit_tpu.decoding import speculative as spec_mod
+
+    orig = spec_mod.speculative_decode_loop
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(spec_mod, "speculative_decode_loop", spy)
+    sched = BatchScheduler(spec_pipe, max_batch=8, max_wait_ms=50.0)
+    rng = np.random.default_rng(7)
+    a = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    res = sched.submit(
+        a, DecodingOptions(priority="latency", **OPTS)
+    ).result(timeout=300)
+    assert res.segments is not None
+    assert calls, "latency request did not take the speculative path"
+    # lossless: tokens identical to the plain greedy decode
+    plain = pipe.transcribe(a, DecodingOptions(**OPTS))
+    assert [s.tokens for s in res.segments] == [
+        s.tokens for s in plain.segments
+    ]
+    sched.shutdown()

@@ -67,6 +67,12 @@ class DecodingOptions:
     patience: float = 1.0
     length_penalty: Optional[float] = None
     seed: int = 0
+    # serving scheduling class: "throughput" (default) batches the request
+    # with concurrent work; "latency" decodes it ALONE at batch 1 without
+    # waiting to batch — which also routes it through the lossless
+    # draft-verify speculative loop when the pipeline carries a draft
+    # model (decoding/speculative.py; scheduler + server honor this)
+    priority: str = "throughput"
 
     def __post_init__(self) -> None:
         if isinstance(self.task, str):
@@ -77,6 +83,8 @@ class DecodingOptions:
             raise ValueError("temperature_fallback_count must be >= 0")
         if self.sample_length <= 0:
             raise ValueError("sample_length must be > 0")
+        if self.priority not in ("throughput", "latency"):
+            raise ValueError("priority must be 'throughput' or 'latency'")
 
     @property
     def temperatures(self) -> list[float]:

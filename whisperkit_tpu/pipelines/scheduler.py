@@ -19,6 +19,13 @@ concurrent streams"):
 
 Batch sizes are bucketed to powers of two (padding with silent windows) so
 XLA compiles a handful of shapes, not one per arrival pattern.
+
+Latency class (r8): `DecodingOptions(priority="latency")` requests skip
+the batching wait and decode ALONE at batch 1 — which arms the pipeline's
+lossless speculative draft-verify loop when a draft model is attached
+(pipelines/whisper._encode + decoding/speculative.py). The throughput
+class is unaffected: latency windows never merge into its batches
+(priority is part of the options signature).
 """
 
 from __future__ import annotations
@@ -49,6 +56,7 @@ def _options_key(options: DecodingOptions) -> tuple:
     """Units share one batched decode ONLY when every decode-affecting
     option matches (the whole group is decoded with one options object)."""
     return (
+        options.priority,
         options.language,
         options.task,
         options.without_timestamps,
@@ -211,9 +219,12 @@ class BatchScheduler:
                 except Exception as e:
                     req.future.set_exception(e)
                     continue
-            # gather more compatible work for up to max_wait_ms
+            # gather more compatible work for up to max_wait_ms — unless a
+            # latency-class window is pending: those never wait to batch
             deadline = time.perf_counter() + self.max_wait_ms / 1000.0
-            while len(self._pending) < self.max_batch:
+            while len(self._pending) < self.max_batch and not any(
+                w.options.priority == "latency" for w in self._pending
+            ):
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0:
                     break
@@ -228,11 +239,20 @@ class BatchScheduler:
                 except Exception as e:
                     req.future.set_exception(e)
 
-            # one batch = up to max_batch pending windows with ONE options
-            # signature (first unit's); the rest stay pending
-            key = _options_key(self._pending[0].options)
-            group = [w for w in self._pending if _options_key(w.options) == key]
-            group = group[: self.max_batch]
+            # latency-class windows decode ALONE at batch 1, oldest first
+            # (b=1 also arms the pipeline's speculative draft-verify loop
+            # when a draft model is attached — _encode/_decode_with_fallback)
+            lat = [w for w in self._pending if w.options.priority == "latency"]
+            if lat:
+                group = [lat[0]]
+            else:
+                # one batch = up to max_batch pending windows with ONE
+                # options signature (first unit's); the rest stay pending
+                key = _options_key(self._pending[0].options)
+                group = [
+                    w for w in self._pending if _options_key(w.options) == key
+                ]
+                group = group[: self.max_batch]
             taken = set(map(id, group))
             self._pending = [w for w in self._pending if id(w) not in taken]
             try:

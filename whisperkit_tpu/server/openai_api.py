@@ -6,6 +6,8 @@ Server/OpenAIHandler.swift (`createTranscription` :121, SSE streaming
 
   POST /v1/audio/transcriptions   multipart: file, model, language, prompt,
                                   temperature, response_format, stream,
+                                  priority (extension: "latency" → b=1 +
+                                  speculative when a draft is loaded),
                                   timestamp_granularities[]
   POST /v1/audio/translations     same minus language (task=translate)
   GET  /health
@@ -160,6 +162,11 @@ def create_app(
             word_timestamps=word_ts,
             prompt_tokens=prompt_tokens,
             chunking_strategy="vad",
+            # extension field (no OpenAI equivalent): "latency" requests
+            # decode alone at batch 1 without waiting to batch — and run
+            # the lossless speculative draft-verify loop when the server's
+            # pipeline carries a draft model
+            priority=fields.get("priority", "throughput"),
         )
 
     async def _handle(request, task: DecodingTask):
