@@ -275,18 +275,24 @@ def test_quantized_checkpoint_cache(torch_whisper):
             )
 
 
-def test_quantized_cache_rejects_stale_pack_format(torch_whisper):
+def test_quantized_cache_rejects_stale_pack_format(torch_whisper, tmp_path):
     """A quantized cache written under a different packed-weight layout
-    (ops/quant.QUANT_FORMAT) reads back with identical dtype/shape but
-    garbage values — the loader must reject it and requantize, not restore
-    it (the r6→r7 S4→half-plane repack is exactly this hazard)."""
+    (ops/quant.QUANT_FORMATS, per scheme) reads back with identical
+    dtype/shape but garbage values — the loader must reject it and
+    requantize, not restore it (the r6→r7 S4→half-plane repack is exactly
+    this hazard). Runs on a per-test COPY of the checkpoint folder so a
+    mid-test failure can't leave the module-scoped fixture's shared cache
+    tampered (ADVICE r3 #2)."""
     import json as _json
+    import shutil
 
-    _, folder = torch_whisper
+    _, shared_folder = torch_whisper
     from pathlib import Path
 
     from whisperkit_tpu.models.loader import load_quantized
 
+    folder = tmp_path / "ckpt"
+    shutil.copytree(shared_folder, folder)
     load_whisper(folder, quantization="w4a16")  # writes the cache
     dims_path = Path(folder) / "quantized_w4a16_dims.json"
     meta = _json.loads(dims_path.read_text())

@@ -284,10 +284,11 @@ def save_quantized(
     with open(folder / f"quantized_{scheme}_dims.json", "w") as f:
         import dataclasses
 
-        from whisperkit_tpu.ops.quant import QUANT_FORMAT
+        from whisperkit_tpu.ops.quant import quant_format
 
         json.dump(
-            {**dataclasses.asdict(dims), "_quant_format": QUANT_FORMAT}, f
+            {**dataclasses.asdict(dims), "_quant_format": quant_format(scheme)},
+            f,
         )
     return ckpt
 
@@ -303,7 +304,7 @@ def load_quantized(
     import jax
     import orbax.checkpoint as ocp
 
-    from whisperkit_tpu.ops.quant import QUANT_FORMAT, quantize_whisper_params
+    from whisperkit_tpu.ops.quant import quant_format, quantize_whisper_params
 
     folder = Path(folder).resolve()
     ckpt = folder / f"quantized_{scheme}.orbax"
@@ -312,11 +313,12 @@ def load_quantized(
         return None
     with open(dims_path) as f:
         meta = json.load(f)
-    # caches record the packed representation's format: a layout change
-    # (e.g. the r7 S4→half-plane-uint8 repack) reads back with identical
-    # dtype/shape but garbage values, so any mismatch means requantize
-    # (pre-versioning caches carry no key and count as format 1)
-    if meta.pop("_quant_format", 1) != QUANT_FORMAT:
+    # caches record the packed representation's format PER SCHEME: a layout
+    # change (e.g. the r7 S4→half-plane-uint8 repack) reads back with
+    # identical dtype/shape but garbage values, so any mismatch with the
+    # scheme's current format means requantize (pre-versioning caches carry
+    # no key and count as format 1)
+    if meta.pop("_quant_format", 1) != quant_format(scheme):
         logging.debug(
             f"quantized cache {ckpt.name} has a stale pack format; requantizing"
         )

@@ -63,14 +63,24 @@ def quantized_matmul(x: jnp.ndarray, q: dict) -> jnp.ndarray:
 
 W4_GROUP = 64  # rows per scale group; divides every Whisper linear's d_model
 
-# On-disk quantized-cache format version (models/loader.save_quantized).
-# The packed W4A16 bytes are layout-dependent — a cache written under one
-# packing reads back with identical dtype/shape under another, silently
-# dequantizing garbage — so the loader rejects caches whose recorded format
-# differs and requantizes instead. Bump whenever the stored representation
-# changes. 1: native S4 / interleaved nibbles (r6, never shippable — S4
-# cannot cross the axon jit boundary); 2: half-plane nibble-packed uint8.
-QUANT_FORMAT = 2
+# On-disk quantized-cache format versions (models/loader.save_quantized),
+# PER SCHEME (ADVICE r3 #1: a w4-only layout bump must not invalidate
+# w8a16 caches whose int8 layout never changed). The packed W4A16 bytes
+# are layout-dependent — a cache written under one packing reads back with
+# identical dtype/shape under another, silently dequantizing garbage — so
+# the loader rejects caches whose recorded format differs from the
+# scheme's current one and requantizes instead. Bump a scheme's entry
+# whenever ITS stored representation changes.
+# History: format 1 = native S4 / interleaved nibbles (r6, never
+# shippable — S4 cannot cross the axon jit boundary); format 2 =
+# half-plane nibble-packed uint8 for w4a16. Both schemes sit at 2 today
+# because pre-split caches recorded the then-global version 2 — starting
+# them lower would force a one-time spurious requantize of valid caches.
+QUANT_FORMATS = {"w8a16": 2, "w4a16": 2}
+
+
+def quant_format(scheme: str) -> int:
+    return QUANT_FORMATS[scheme]
 
 
 def quantize_weight_w4(w: jnp.ndarray, group: int = W4_GROUP) -> dict:
