@@ -295,6 +295,40 @@ def main() -> None:
                 sched.windows_run / max(sched.batches_run, 1), 1
             ),
         }
+        # staggered scenario (VERDICT r3 #4): Poisson arrivals at ~1× the
+        # burst capacity just measured — bursts complete together and hide
+        # queueing; staggered p50/p95/p99 shows latency under partial load
+        # (full sweep incl. 0.5×/2× and mixed durations:
+        # tools/perf_serve.py)
+        cap_rps = 32.0 / wall
+        gaps = np.cumsum(
+            np.random.default_rng(7).exponential(1.0 / cap_rps, 16)
+        )
+        pipe.timings = TranscriptionTimings()
+        t_start = time.perf_counter()
+        t_subs2, futs2 = [], []
+        for g in gaps:
+            wait = t_start + float(g) - time.perf_counter()
+            if wait > 0:
+                time.sleep(wait)
+            t_subs2.append(time.perf_counter())
+            futs2.append(sched.submit(clip30, options))
+        lats2 = []
+        for t_sub, f in zip(t_subs2, futs2):
+            f.result(timeout=3600)
+            lats2.append(time.perf_counter() - t_sub)
+        wall2 = time.perf_counter() - t_start
+        lats2.sort()
+        serving_stats["staggered16_poisson_1x"] = {
+            "arrival_rps": round(cap_rps, 2),
+            "wall_s": round(wall2, 2),
+            "p50_s": round(float(np.percentile(lats2, 50)), 2),
+            "p95_s": round(float(np.percentile(lats2, 95)), 2),
+            "p99_s": round(float(np.percentile(lats2, 99)), 2),
+            "agg_tokens_per_s": round(
+                int(pipe.timings.total_decoding_loops) / wall2, 1
+            ),
+        }
         sched.shutdown()
         pipe.params = None
         del pipe, sched

@@ -223,3 +223,52 @@ def test_draft_kv_matches_target_kv(setup):
             d_arr[:, :, :, : pos - 1].reshape(-1, d_arr.shape[-1]), axis=-1
         )
         assert (norms > 1e-6).all()
+
+
+def test_speculative_under_serving_preset_matches_plain_greedy():
+    """The serving preset's fused int8 cross-KV feeds the draft-verify loop
+    (the latency serving class runs exactly this combination): output must
+    match the plain bf16 greedy pipeline token-exactly at test scale (the
+    same exactness bar as the non-speculative int8 cross-KV tests)."""
+    import jax
+
+    from whisperkit_tpu.core.configurations import (
+        ComputeOptions,
+        DecodingOptions,
+        WhisperConfig,
+    )
+    from whisperkit_tpu.decoding import speculative as spec_mod
+    from whisperkit_tpu.pipelines.whisper import WhisperPipeline
+
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    draft = init_params(jax.random.PRNGKey(9), DIMS)
+    serving_spec = WhisperPipeline(
+        WhisperConfig(compute_options=ComputeOptions.serving()),
+        dims=DIMS, params=params, draft_dims=DIMS, draft_params=draft,
+    )
+    plain = WhisperPipeline(dims=DIMS, params=params)
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    opts = DecodingOptions(
+        sample_length=8, language="en", temperature_fallback_count=0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, first_token_log_prob_threshold=None,
+    )
+    calls = []
+    orig = spec_mod.speculative_decode_loop
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    import whisperkit_tpu.pipelines.whisper  # noqa: F401
+
+    spec_mod_orig = spec_mod.speculative_decode_loop
+    spec_mod.speculative_decode_loop = spy
+    try:
+        r1 = serving_spec.transcribe(audio, opts)
+    finally:
+        spec_mod.speculative_decode_loop = spec_mod_orig
+    r2 = plain.transcribe(audio, opts)
+    assert calls, "serving preset b=1 did not take the speculative path"
+    assert [s.tokens for s in r1.segments] == [s.tokens for s in r2.segments]
