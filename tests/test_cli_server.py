@@ -443,3 +443,42 @@ def test_cli_probe_skipped_on_explicit_cpu(monkeypatch):
     args = argparse.Namespace(device_probe_timeout=90.0)
     # conftest forces jax_platforms=cpu in this process → skip
     cli_main._probe_device_or_raise(args)
+
+
+def test_server_priority_field(pipe, wav_bytes, monkeypatch):
+    """The `priority` extension field reaches the scheduler: a "latency"
+    request decodes alone at b=1 (and runs speculative when a draft is
+    loaded — covered in test_scheduler); an invalid value is a 400."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from whisperkit_tpu.server.openai_api import create_app
+
+    seen = []
+    orig = type(pipe)._decode_with_fallback
+
+    def spy(self, ck, cv, options, language, window_index):
+        b = ck["q8"].shape[1] if isinstance(ck, dict) else ck.shape[1]
+        seen.append((options.priority, b))
+        return orig(self, ck, cv, options, language, window_index)
+
+    monkeypatch.setattr(type(pipe), "_decode_with_fallback", spy)
+
+    async def go():
+        app = create_app(pipe, batching=True, max_batch=4)
+        async with TestClient(TestServer(app)) as client:
+            r = await _post_multipart(
+                client, "/v1/audio/transcriptions",
+                {"language": "en", "priority": "latency"}, wav_bytes,
+            )
+            assert r.status == 200
+            r2 = await _post_multipart(
+                client, "/v1/audio/transcriptions",
+                {"language": "en", "priority": "bogus"}, wav_bytes,
+            )
+            assert r2.status == 400
+
+    asyncio.run(go())
+    assert ("latency", 1) in seen
+

@@ -77,6 +77,14 @@ def main() -> None:
         help="arm the pipeline with this draft model (e.g. large-v3-turbo) "
         "so latency-class scenarios run the speculative draft-verify loop",
     )
+    ap.add_argument(
+        "--segmented", action="store_true",
+        help="run with segmented_decode=True (resumable ~32-token decode "
+        "segments + batch compaction between them): A/B its overhead under "
+        "load — NOTE under the random-weight policy rows never sample EOT, "
+        "so compaction never fires and this measures pure segmentation "
+        "overhead (the compaction UPSIDE needs real weights)",
+    )
     args = ap.parse_args()
 
     dims = VARIANT_DIMS[args.variant]
@@ -89,7 +97,11 @@ def main() -> None:
             draft_params=init_params(jax.random.PRNGKey(1), draft_dims),
         )
     pipe = WhisperPipeline(
-        WhisperConfig(compute_options=ComputeOptions.serving()),
+        WhisperConfig(
+            compute_options=ComputeOptions.serving(
+                segmented_decode=args.segmented
+            )
+        ),
         dims=dims, params=params, **draft_kw,
     )
     options = DecodingOptions(
