@@ -292,3 +292,36 @@ def test_scheduler_latency_runs_speculative_with_draft(pipe, monkeypatch):
         s.tokens for s in plain.segments
     ]
     sched.shutdown()
+
+
+def test_scheduler_latency_stream_does_not_starve_throughput(pipe, monkeypatch):
+    """A continuous latency stream must not starve batched work: under
+    contention the classes alternate, so throughput jobs complete while
+    latency requests keep arriving (bounded wait both ways)."""
+    order = []
+    orig = BatchScheduler._process_group
+
+    def spy(self, group):
+        order.append(group[0].options.priority)
+        return orig(self, group)
+
+    monkeypatch.setattr(BatchScheduler, "_process_group", spy)
+    sched = BatchScheduler(pipe, max_batch=8, max_wait_ms=100.0)
+    rng = np.random.default_rng(8)
+    a = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    lat_opts = DecodingOptions(priority="latency", **OPTS)
+    tp_opts = DecodingOptions(**OPTS)
+    # enqueue an interleaved burst: 4 latency + 4 throughput
+    futs = []
+    for _ in range(4):
+        futs.append(sched.submit(a, lat_opts))
+        futs.append(sched.submit(a, tp_opts))
+    for f in futs:
+        f.result(timeout=300)
+    sched.shutdown()
+    assert "throughput" in order and "latency" in order
+    # no long latency run while throughput work was pending: between any
+    # two throughput batches there is at most... directly: the first
+    # throughput batch must run before the LAST latency batch (alternation
+    # kicked in instead of draining every latency request first)
+    assert order.index("throughput") < len(order) - 1 - order[::-1].index("latency")

@@ -142,6 +142,7 @@ class BatchScheduler:
         self.batches_run = 0
         self.jobs_run = 0
         self.windows_run = 0
+        self._served_latency_last = False
 
     # -- public API ----------------------------------------------------------
 
@@ -241,14 +242,25 @@ class BatchScheduler:
 
             # latency-class windows decode ALONE at batch 1, oldest first
             # (b=1 also arms the pipeline's speculative draft-verify loop
-            # when a draft model is attached — _encode/_decode_with_fallback)
+            # when a draft model is attached — _encode/_decode_with_fallback).
+            # Under contention the classes ALTERNATE: a continuous latency
+            # stream must not starve batched throughput work (and vice
+            # versa — a latency request waits at most one batch decode).
             lat = [w for w in self._pending if w.options.priority == "latency"]
-            if lat:
+            tp_pending = len(lat) < len(self._pending)
+            if lat and not (self._served_latency_last and tp_pending):
                 group = [lat[0]]
+                self._served_latency_last = True
             else:
+                self._served_latency_last = False
                 # one batch = up to max_batch pending windows with ONE
-                # options signature (first unit's); the rest stay pending
-                key = _options_key(self._pending[0].options)
+                # options signature (first THROUGHPUT unit's — pending[0]
+                # may be a deferred latency window); the rest stay pending
+                first_tp = next(
+                    w for w in self._pending
+                    if w.options.priority != "latency"
+                )
+                key = _options_key(first_tp.options)
                 group = [
                     w for w in self._pending if _options_key(w.options) == key
                 ]
