@@ -79,6 +79,7 @@ def clip_wav(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_tts_example_writes_wav(tmp_path):
     out = tmp_path / "hello.wav"
     proc = _run(
@@ -94,6 +95,7 @@ def test_tts_example_writes_wav(tmp_path):
     assert "ms/step" in proc.stdout or "wrote" in proc.stdout.lower() or out.exists()
 
 
+@pytest.mark.slow
 def test_streaming_mic_example_simulated(tiny_ckpt, clip_wav):
     proc = _run(
         [
@@ -104,6 +106,7 @@ def test_streaming_mic_example_simulated(tiny_ckpt, clip_wav):
     assert "full transcript:" in proc.stdout
 
 
+@pytest.mark.slow
 def test_serve_client_example_against_real_server(tiny_ckpt, clip_wav):
     """Boots the real aiohttp app on a loopback port in-process, then runs
     examples/serve_client.py as a subprocess against it (plain and

@@ -67,6 +67,7 @@ def test_wheel_contains_package_and_native_sources(wheel_path):
     assert not any(n.startswith(("tests/", "tools/")) for n in names)
 
 
+@pytest.mark.slow
 def test_clean_venv_install_and_cli_from_foreign_cwd(wheel_path, tmp_path):
     """pip install the wheel into a fresh venv and run
     `whisperkit-tpu transcribe <wav>` from an unrelated cwd
