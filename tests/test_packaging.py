@@ -159,3 +159,24 @@ def test_clean_venv_install_and_cli_from_foreign_cwd(wheel_path, tmp_path):
         env=env,
     )
     assert str(venv_dir) in proc2.stdout
+
+    # when the build toolchain compiled the decoder into the wheel, the
+    # installed package must find and load it WITHOUT the repo checkout
+    import zipfile
+
+    if any(
+        n.endswith("libwhisperkit_audio.so")
+        for n in zipfile.ZipFile(wheel_path).namelist()
+    ):
+        proc3 = _run(
+            [
+                str(vpy), "-c",
+                "from whisperkit_tpu.audio import native;"
+                "import whisperkit_tpu.audio.native as n;"
+                "print('native:', native.available(), n._find_lib())",
+            ],
+            cwd=str(foreign),
+            env=env,
+        )
+        assert "native: True" in proc3.stdout
+        assert str(venv_dir) in proc3.stdout  # loaded from the wheel, not the repo
