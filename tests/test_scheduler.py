@@ -302,6 +302,10 @@ def test_scheduler_latency_stream_does_not_starve_throughput(pipe, monkeypatch):
     orig = BatchScheduler._process_group
 
     def spy(self, group):
+        classes = {w.options.priority for w in group}
+        assert len(classes) == 1, "a batch mixed latency+throughput windows"
+        if "latency" in classes:
+            assert len(group) == 1, "latency windows must decode alone"
         order.append(group[0].options.priority)
         return orig(self, group)
 
