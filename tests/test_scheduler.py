@@ -329,3 +329,46 @@ def test_scheduler_latency_stream_does_not_starve_throughput(pipe, monkeypatch):
     # throughput batch must run before the LAST latency batch (alternation
     # kicked in instead of draining every latency request first)
     assert order.index("throughput") < len(order) - 1 - order[::-1].index("latency")
+
+
+def test_scheduler_latency_failure_reaches_future(pipe, monkeypatch):
+    """A decode failure inside a latency group must surface on the
+    request's future (same guarantee as the batched path), and the
+    scheduler must keep serving afterwards."""
+    calls = {"n": 0}
+    orig = BatchScheduler._process_group
+
+    def failing(self, group):
+        if group[0].options.priority == "latency" and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected decode failure")
+        return orig(self, group)
+
+    monkeypatch.setattr(BatchScheduler, "_process_group", failing)
+    sched = BatchScheduler(pipe, max_batch=4, max_wait_ms=50.0)
+    rng = np.random.default_rng(9)
+    a = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    f_bad = sched.submit(a, DecodingOptions(priority="latency", **OPTS))
+    with pytest.raises(RuntimeError, match="injected"):
+        f_bad.result(timeout=300)
+    # scheduler still alive: both classes decode fine afterwards
+    f_lat = sched.submit(a, DecodingOptions(priority="latency", **OPTS))
+    f_tp = sched.submit(a, DecodingOptions(**OPTS))
+    assert f_lat.result(timeout=300).segments is not None
+    assert f_tp.result(timeout=300).segments is not None
+    sched.shutdown()
+
+
+def test_scheduler_shutdown_does_not_hang_with_backlog(pipe):
+    """shutdown() returns promptly even with queued work (bounded join)."""
+    import time as _time
+
+    sched = BatchScheduler(pipe, max_batch=4, max_wait_ms=50.0)
+    rng = np.random.default_rng(10)
+    a = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    futs = [sched.submit(a, DecodingOptions(**OPTS)) for _ in range(3)]
+    for f in futs:  # let the in-flight work land first
+        f.result(timeout=300)
+    t0 = _time.perf_counter()
+    sched.shutdown()
+    assert _time.perf_counter() - t0 < 10.0
