@@ -270,64 +270,32 @@ def main() -> None:
         options = pipeline_options(32)
         for f in [sched.submit(clip30, options) for _ in range(32)]:
             f.result(timeout=3600)  # warmup batch (compile)
-        from whisperkit_tpu.core.timings import TranscriptionTimings
+        from whisperkit_tpu.eval.loadgen import poisson_gaps, run_load
 
-        pipe.timings = TranscriptionTimings()
-        sched.batches_run = sched.windows_run = 0
-        t_subs = []
-        futs = []
-        for _ in range(32):
-            t_subs.append(time.perf_counter())
-            futs.append(sched.submit(clip30, options))
-        lats = []
-        for t_sub, f in zip(t_subs, futs):
-            f.result(timeout=3600)
-            lats.append(time.perf_counter() - t_sub)
-        lats.sort()
-        wall = lats[-1]
+        burst = run_load(sched, pipe, [clip30] * 32, options)
+        wall = burst["wall_s"]
         serving_stats = {
-            "p50_s": round(lats[len(lats) // 2], 2),
-            "p99_s": round(lats[-1], 2),
-            "agg_tokens_per_s": round(
-                int(pipe.timings.total_decoding_loops) / wall, 1
-            ),
-            "mean_batch_fill": round(
-                sched.windows_run / max(sched.batches_run, 1), 1
-            ),
+            k: burst[k]
+            for k in ("p50_s", "p99_s", "agg_tokens_per_s", "mean_batch_fill")
         }
         # staggered scenario (VERDICT r3 #4): Poisson arrivals at ~1× the
         # burst capacity just measured — bursts complete together and hide
-        # queueing; staggered p50/p95/p99 shows latency under partial load
-        # (full sweep incl. 0.5×/2× and mixed durations:
-        # tools/perf_serve.py)
-        cap_rps = 32.0 / wall
-        gaps = np.cumsum(
-            np.random.default_rng(7).exponential(1.0 / cap_rps, 16)
+        # queueing; staggered p50/p95/p99 shows latency under partial load.
+        # Shared harness with tools/perf_serve.py (eval/loadgen.py) so the
+        # two can't drift; full sweep incl. 0.5×/2× and mixed durations
+        # lives in perf_serve.
+        cap_rps = 32.0 / wall  # requests/s of 30 s clips
+        stag = run_load(
+            sched, pipe, [clip30] * 16, options,
+            arrival_gaps=poisson_gaps(
+                np.random.default_rng(7), cap_rps, 16
+            ),
         )
-        pipe.timings = TranscriptionTimings()
-        t_start = time.perf_counter()
-        t_subs2, futs2 = [], []
-        for g in gaps:
-            wait = t_start + float(g) - time.perf_counter()
-            if wait > 0:
-                time.sleep(wait)
-            t_subs2.append(time.perf_counter())
-            futs2.append(sched.submit(clip30, options))
-        lats2 = []
-        for t_sub, f in zip(t_subs2, futs2):
-            f.result(timeout=3600)
-            lats2.append(time.perf_counter() - t_sub)
-        wall2 = time.perf_counter() - t_start
-        lats2.sort()
         serving_stats["staggered16_poisson_1x"] = {
             "arrival_rps": round(cap_rps, 2),
-            "wall_s": round(wall2, 2),
-            "p50_s": round(float(np.percentile(lats2, 50)), 2),
-            "p95_s": round(float(np.percentile(lats2, 95)), 2),
-            "p99_s": round(float(np.percentile(lats2, 99)), 2),
-            "agg_tokens_per_s": round(
-                int(pipe.timings.total_decoding_loops) / wall2, 1
-            ),
+            **{k: stag[k] for k in (
+                "wall_s", "p50_s", "p95_s", "p99_s", "agg_tokens_per_s",
+            )},
         }
         sched.shutdown()
         pipe.params = None

@@ -372,3 +372,31 @@ def test_scheduler_shutdown_does_not_hang_with_backlog(pipe):
     t0 = _time.perf_counter()
     sched.shutdown()
     assert _time.perf_counter() - t0 < 10.0
+
+
+def test_scheduler_long_latency_request_demoted_to_batched(pipe):
+    """A latency-class request longer than one window is demoted to
+    throughput: serial b=1 decodes would be slower than its own batched
+    path AND monopolize the collector (r8 self-review finding #1). Its
+    windows must batch together, and concurrent work must still complete."""
+    sched = BatchScheduler(pipe, max_batch=8, max_wait_ms=300.0)
+    rng = np.random.default_rng(12)
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    short = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    opts = dict(
+        chunking_strategy="vad", temperature_fallback_count=0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, first_token_log_prob_threshold=None,
+        **OPTS,
+    )
+    f_long = sched.submit(
+        long_audio, DecodingOptions(priority="latency", **opts)
+    )
+    f_short = sched.submit(short, DecodingOptions(**opts))
+    res_long = f_long.result(timeout=600)
+    assert f_short.result(timeout=600).segments is not None
+    assert res_long.segments
+    # demoted: the long job's windows batched (NOT one b=1 batch per
+    # window) — 3 windows + 1 short = ≤2 batches, not 4
+    assert sched.batches_run <= 2
+    sched.shutdown()

@@ -129,7 +129,7 @@ def main() -> None:
         bucket *= 2
     pipe.transcribe(clip90, options)  # VAD-path shapes for long jobs
 
-    import threading
+    from whisperkit_tpu.eval.loadgen import poisson_gaps, run_load
 
     def run_scenario(
         name: str,
@@ -139,71 +139,14 @@ def main() -> None:
         scenario_options: DecodingOptions | None = None,
         extra: dict | None = None,
     ):
-        """arrival_gaps[i] = seconds after t_start to submit clips[i]
-        (None = simultaneous burst). Queue depth (submitted windows not yet
-        decoded) sampled at 4 Hz for staggered scenarios."""
-        opts = scenario_options or options
-        pipe.timings = TranscriptionTimings()
-        sched.batches_run = 0
-        sched.jobs_run = 0
-        sched.windows_run = 0
-        depth_samples: list[tuple[float, int]] = []
-        stop_sampler = threading.Event()
-        t_start = time.perf_counter()
-
-        def sampler():
-            while not stop_sampler.wait(0.25):
-                depth = sched._queue.qsize() + len(sched._pending)
-                depth_samples.append(
-                    (round(time.perf_counter() - t_start, 2), depth)
-                )
-
-        sampler_thread = None
-        if arrival_gaps is not None:
-            sampler_thread = threading.Thread(target=sampler, daemon=True)
-            sampler_thread.start()
-
-        submitted = []
-        for i, c in enumerate(clips):
-            if arrival_gaps is not None:
-                wait = t_start + arrival_gaps[i] - time.perf_counter()
-                if wait > 0:
-                    time.sleep(wait)
-            submitted.append((time.perf_counter(), sched.submit(c, opts)))
-        lat = []
-        for t0, f in submitted:
-            f.result(timeout=3600)
-            lat.append(time.perf_counter() - t0)
-        wall = time.perf_counter() - t_start
-        if sampler_thread is not None:
-            stop_sampler.set()
-            sampler_thread.join(timeout=2)
-        lat_arr = np.asarray(sorted(lat))
-        tokens = int(pipe.timings.total_decoding_loops)
-        audio_s = sum(len(c) for c in clips) / 16_000
-        out = {
-            "scenario": name,
-            "requests": len(clips),
-            "audio_seconds": round(audio_s, 1),
-            "wall_s": round(wall, 2),
-            "p50_s": round(float(np.percentile(lat_arr, 50)), 2),
-            "p90_s": round(float(np.percentile(lat_arr, 90)), 2),
-            "p95_s": round(float(np.percentile(lat_arr, 95)), 2),
-            "p99_s": round(float(np.percentile(lat_arr, 99)), 2),
-            "agg_tokens_per_s": round(tokens / wall, 1),
-            "serving_rtf": round(wall / audio_s, 5),
-            "batches": sched.batches_run,
-            "mean_batch_fill": round(
-                sched.windows_run / max(sched.batches_run, 1), 1
-            ),
-        }
-        if depth_samples:
-            depths = [d for _, d in depth_samples]
-            out["queue_depth_max"] = max(depths)
-            out["queue_depth_mean"] = round(float(np.mean(depths)), 1)
-            # decimated trace (≤24 points) so the JSON stays readable
-            step = max(1, len(depth_samples) // 24)
-            out["queue_depth_trace"] = depth_samples[::step]
+        """One scenario through the shared harness (eval/loadgen.py);
+        queue depth sampled at 4 Hz for staggered scenarios."""
+        out = run_load(
+            sched, pipe, clips, scenario_options or options,
+            arrival_gaps=arrival_gaps,
+            sample_queue_depth=arrival_gaps is not None,
+        )
+        out = {"scenario": name, **out}
         if extra:
             out.update(extra)
         print(json.dumps(out), flush=True)
@@ -220,7 +163,9 @@ def main() -> None:
     for name in names:
         if name in scenarios:
             out = run_scenario(name, scenarios[name])
-            burst_caps.append(out["requests"] * 30.0 / out["wall_s"])
+            # capacity in audio-seconds/s from the scenario's ACTUAL audio
+            # (mixed includes 90 s clips — requests*30 undercounts it)
+            burst_caps.append(out["audio_seconds"] / out["wall_s"])
 
     # ---- Poisson arrivals at 0.5x/1x/2x measured capacity ------------------
     poisson = {n for n in names if n.startswith("poisson")}
@@ -229,19 +174,20 @@ def main() -> None:
             cap_audio_s = max(burst_caps)  # audio-seconds/s the engine clears
         else:  # measure capacity if bursts were skipped
             out = run_scenario("burst32_cap", [clip30] * 32)
-            cap_audio_s = 32 * 30.0 / out["wall_s"]
-        # mixed durations, mean 50 s of audio per request
+            cap_audio_s = out["audio_seconds"] / out["wall_s"]
+        # mixed durations
         dur_clips = {30: clip30, 60: synth_speechlike_audio(60.0, seed=4),
                      90: clip90}
-        durations = [30, 60, 90, 30, 60, 30, 90, 30]  # mean 50 s
+        durations = [30, 60, 90, 30, 60, 30, 90, 30]
+        mean_dur = sum(durations) / len(durations)  # 52.5 s
         for name, load in (("poisson05", 0.5), ("poisson1", 1.0),
                            ("poisson2", 2.0)):
             if name not in poisson:
                 continue
-            rate_rps = load * cap_audio_s / 50.0  # requests/s at mean 50 s
+            rate_rps = load * cap_audio_s / mean_dur
             rng = np.random.default_rng(int(load * 10))
             n_req = 24
-            gaps = np.cumsum(rng.exponential(1.0 / rate_rps, n_req)).tolist()
+            gaps = poisson_gaps(rng, rate_rps, n_req)
             clips = [dur_clips[durations[i % len(durations)]]
                      for i in range(n_req)]
             run_scenario(
@@ -252,15 +198,45 @@ def main() -> None:
             )
 
     # ---- latency class: 4 concurrent 30 s, b=1 vs batched ------------------
-    if "latency4" in names:
+    if "latency4" in names or "latency1" in names:
         import dataclasses
 
         lat_options = dataclasses.replace(options, priority="latency")
+    if "latency4" in names:
         run_scenario(
             "latency4_b1", [clip30] * 4, scenario_options=lat_options,
             extra={"speculative": pipe.draft_params is not None},
         )
         run_scenario("latency4_batched", [clip30] * 4)
+    if "latency1" in names:
+        # the class's actual use case: ONE isolated request (median of 3
+        # single-request turns per mode; no batch to join either way —
+        # the delta is pure decode-path choice: draft-verify vs plain b=1).
+        # The plain arm DISARMS the draft: any b=1 decode on a draft-armed
+        # pipeline takes the speculative branch regardless of priority, so
+        # without this the A/B compares speculative against itself.
+        saved_draft = pipe.draft_params, pipe.draft_dims
+        for name, opts_1, armed in (
+            ("latency1_spec", lat_options, True),
+            ("latency1_plain", lat_options, False),
+        ):
+            pipe.draft_params, pipe.draft_dims = (
+                saved_draft if armed else (None, None)
+            )
+            try:
+                walls = []
+                for _ in range(3):
+                    out = run_scenario(f"{name}_run", [clip30],
+                                       scenario_options=opts_1)
+                    walls.append(out["wall_s"])
+                print(json.dumps({
+                    "scenario": name,
+                    "speculative": armed and saved_draft[0] is not None,
+                    "wall_s_median": sorted(walls)[1],
+                    "wall_s_runs": walls,
+                }), flush=True)
+            finally:
+                pipe.draft_params, pipe.draft_dims = saved_draft
 
     sched.shutdown()
 

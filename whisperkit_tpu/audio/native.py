@@ -50,6 +50,14 @@ def _candidate_paths() -> list[Path]:
     paths = []
     env = os.environ.get("WKTPU_NATIVE_LIB")
     if env:
+        if not Path(env).exists():
+            # an EXPLICIT override that doesn't exist is a
+            # misconfiguration — falling through silently would mask the
+            # typo behind whatever stale library discovery finds next
+            logging.error(
+                f"WKTPU_NATIVE_LIB={env} does not exist; "
+                "falling back to default native-library discovery"
+            )
         paths.append(Path(env))
     paths.append(_PKG_NATIVE_DIR / _LIB_NAME)
     paths.append(_REPO_NATIVE_DIR / _LIB_NAME)

@@ -1,0 +1,112 @@
+"""Serving load generator: one measurement harness for bench.py and
+tools/perf_serve.py.
+
+Submits a list of clips to a BatchScheduler — simultaneously (burst) or
+at staggered arrival offsets (Poisson) — and returns latency percentiles,
+aggregate decode throughput, batch-fill, and an optional queue-depth
+trace. Keeping this in ONE place means a methodology fix (capacity
+units, percentile definitions, depth sampling) cannot silently apply to
+one harness and not the other (ADVICE-style drift risk flagged in the r8
+self-review).
+
+Reference analog: the regression harness's tokens/sec measurement via
+callback stream (RegressionTestUtils.swift:84-101) — here at the serving
+engine boundary.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def poisson_gaps(rng: np.random.Generator, rate_rps: float, n: int) -> list[float]:
+    """Cumulative Poisson arrival offsets (seconds from t0) for n requests."""
+    return np.cumsum(rng.exponential(1.0 / rate_rps, n)).tolist()
+
+
+def run_load(
+    sched,
+    pipeline,
+    clips: Sequence[np.ndarray],
+    options,
+    *,
+    arrival_gaps: Optional[Sequence[float]] = None,
+    sample_queue_depth: bool = False,
+    depth_interval_s: float = 0.25,
+    timeout: float = 3600.0,
+) -> dict:
+    """Run one load scenario and return its stats dict.
+
+    `arrival_gaps[i]` = seconds after t0 to submit `clips[i]`
+    (None = simultaneous burst). Latency = submit → result per request.
+    Resets the scheduler's batch counters and the pipeline's timings so
+    `agg_tokens_per_s` reflects only this scenario.
+    """
+    from whisperkit_tpu.core.timings import TranscriptionTimings
+
+    pipeline.timings = TranscriptionTimings()
+    sched.batches_run = 0
+    sched.jobs_run = 0
+    sched.windows_run = 0
+
+    depth_samples: list[tuple[float, int]] = []
+    stop_sampler = threading.Event()
+    t_start = time.perf_counter()
+
+    def sampler():
+        while not stop_sampler.wait(depth_interval_s):
+            depth = sched._queue.qsize() + len(sched._pending)
+            depth_samples.append(
+                (round(time.perf_counter() - t_start, 2), depth)
+            )
+
+    sampler_thread = None
+    if sample_queue_depth:
+        sampler_thread = threading.Thread(target=sampler, daemon=True)
+        sampler_thread.start()
+
+    submitted = []
+    for i, clip in enumerate(clips):
+        if arrival_gaps is not None:
+            wait = t_start + arrival_gaps[i] - time.perf_counter()
+            if wait > 0:
+                time.sleep(wait)
+        submitted.append((time.perf_counter(), sched.submit(clip, options)))
+    lat = []
+    for t0, f in submitted:
+        f.result(timeout=timeout)
+        lat.append(time.perf_counter() - t0)
+    wall = time.perf_counter() - t_start
+    if sampler_thread is not None:
+        stop_sampler.set()
+        sampler_thread.join(timeout=2)
+
+    lat_arr = np.asarray(sorted(lat))
+    tokens = int(pipeline.timings.total_decoding_loops)
+    audio_s = sum(len(c) for c in clips) / 16_000
+    out = {
+        "requests": len(clips),
+        "audio_seconds": round(audio_s, 1),
+        "wall_s": round(wall, 2),
+        "p50_s": round(float(np.percentile(lat_arr, 50)), 2),
+        "p90_s": round(float(np.percentile(lat_arr, 90)), 2),
+        "p95_s": round(float(np.percentile(lat_arr, 95)), 2),
+        "p99_s": round(float(np.percentile(lat_arr, 99)), 2),
+        "agg_tokens_per_s": round(tokens / wall, 1),
+        "serving_rtf": round(wall / audio_s, 5),
+        "batches": sched.batches_run,
+        "mean_batch_fill": round(
+            sched.windows_run / max(sched.batches_run, 1), 1
+        ),
+    }
+    if depth_samples:
+        depths = [d for _, d in depth_samples]
+        out["queue_depth_max"] = max(depths)
+        out["queue_depth_mean"] = round(float(np.mean(depths)), 1)
+        step = max(1, len(depth_samples) // 24)
+        out["queue_depth_trace"] = depth_samples[::step]
+    return out

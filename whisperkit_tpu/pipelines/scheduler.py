@@ -25,7 +25,10 @@ the batching wait and decode ALONE at batch 1 — which arms the pipeline's
 lossless speculative draft-verify loop when a draft model is attached
 (pipelines/whisper._encode + decoding/speculative.py). The throughput
 class is unaffected: latency windows never merge into its batches
-(priority is part of the options signature).
+(priority is part of the options signature), the classes alternate under
+contention, and requests longer than one window are demoted to
+throughput (serial b=1 decodes would be slower than their own batched
+path AND monopolize the collector).
 """
 
 from __future__ import annotations
@@ -171,11 +174,25 @@ class BatchScheduler:
     def _expand(self, req: _Request) -> list[_Window]:
         """A request becomes one window, or (long) its VAD-chunked windows
         sharing a _LongJob accumulator (the pipeline's chunking semantics:
-        pipelines/whisper._transcribe_vad_chunked)."""
+        pipelines/whisper._transcribe_vad_chunked).
+
+        The latency class applies to SINGLE-WINDOW requests only: a long
+        request's windows would otherwise decode serially at b=1 —
+        slower than its own batched path AND monopolizing the collector
+        for N decodes. Long latency requests are demoted to throughput
+        (their windows batch together, which is also their fastest path).
+        """
         if len(req.audio) <= WINDOW_SAMPLES:
             return [
                 _Window(req.audio, req.options, req.enqueued_at, future=req.future)
             ]
+        if req.options.priority == "latency":
+            req = dataclasses.replace(
+                req,
+                options=dataclasses.replace(
+                    req.options, priority="throughput"
+                ),
+            )
         from whisperkit_tpu.audio.chunker import VADAudioChunker
 
         pipe = self.pipeline
@@ -220,17 +237,25 @@ class BatchScheduler:
                 except Exception as e:
                     req.future.set_exception(e)
                     continue
-            # gather more compatible work for up to max_wait_ms — unless a
-            # latency-class window is pending: those never wait to batch
+            # gather more compatible work for up to max_wait_ms. With a
+            # latency-class window pending the gather never BLOCKS (those
+            # requests don't wait to batch) but the queue is still drained
+            # non-blockingly — queued work must become visible to the
+            # class-alternation logic below, or a latency stream would
+            # starve everything sitting in the queue.
             deadline = time.perf_counter() + self.max_wait_ms / 1000.0
-            while len(self._pending) < self.max_batch and not any(
-                w.options.priority == "latency" for w in self._pending
-            ):
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    break
+            while len(self._pending) < self.max_batch:
+                lat_pending = any(
+                    w.options.priority == "latency" for w in self._pending
+                )
+                remaining = (
+                    0.0 if lat_pending else deadline - time.perf_counter()
+                )
                 try:
-                    req = self._queue.get(timeout=remaining)
+                    if remaining <= 0:
+                        req = self._queue.get_nowait()
+                    else:
+                        req = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
                 if req is None:
@@ -294,14 +319,14 @@ class BatchScheduler:
 
         # pipe._encode honors the serving config (fused int8 cross-KV)
         _, ck, cv = pipe._encode(mel_batch, options)
+        # rows belong to DIFFERENT requests: each job detects its own
+        # language (per-row argmax via the pipeline's shared resolution
+        # ladder), and per-row prompts carry it into ONE shared batched
+        # decode — never average detection across unrelated jobs
+        # (reference: each transcription detects independently,
+        # TextDecoder.swift:420)
+        langs = pipe._group_languages(options, ck, cv, n, per_row=True)
         if not options.language and pipe.is_multilingual:
-            # rows belong to DIFFERENT requests: each job detects its own
-            # language (per-row argmax), and per-row prompts carry it into
-            # ONE shared batched decode — never average detection across
-            # unrelated jobs, and never cache one job's language on the
-            # pipeline for the next (reference: each transcription detects
-            # independently, TextDecoder.swift:420)
-            langs = list(pipe._detect_languages_per_row(ck, cv, n))
             if not options.detect_language:
                 # ONE language per multi-window job (reference: a single
                 # detection per transcription; only detect_language=True
@@ -328,8 +353,6 @@ class BatchScheduler:
                     else lg
                     for w, lg in zip(group, langs)
                 ]
-        else:
-            langs = [pipe._resolve_language(options, ck, cv, n)] * n
         pad_langs = [langs[0]] * (bucket - n)  # pad rows are discarded
         decodes = pipe._decode_with_fallback(
             ck, cv, options, langs + pad_langs, 0

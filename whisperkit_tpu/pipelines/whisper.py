@@ -418,6 +418,35 @@ class WhisperPipeline:
         )[: (n_rows or None)]
         return [LANGUAGES[int(i)][0] for i in np.argmax(probs, axis=-1)]
 
+    def _group_languages(
+        self,
+        options: DecodingOptions,
+        ck,
+        cv,
+        n_real: int,
+        *,
+        pad_to: Optional[int] = None,
+        per_row: bool = False,
+    ) -> list[str]:
+        """THE language-resolution ladder for a batch of encoded windows —
+        every batched caller (short-clip batch, VAD groups, the continuous
+        -batching scheduler) goes through here so the semantics can't
+        drift: explicit language → non-multilingual "en" → per-row argmax
+        (`per_row=True`: rows are unrelated files/windows that must not
+        share a detection) → once-per-file cached detection. Pad rows
+        repeat the first language (they are discarded after decode)."""
+        if options.language:
+            langs = [options.language] * n_real
+        elif not self.is_multilingual:
+            langs = ["en"] * n_real
+        elif per_row:
+            langs = list(self._detect_languages_per_row(ck, cv, n_real))
+        else:
+            langs = [self._resolve_language(options, ck, cv, n_real)] * n_real
+        if pad_to is not None and pad_to > n_real:
+            langs = langs + [langs[0]] * (pad_to - n_real)
+        return langs
+
     # -- decode with fallback -----------------------------------------------
 
     def _decode_with_fallback(
@@ -778,12 +807,7 @@ class WhisperPipeline:
         mel_batch = jnp.stack(self._mel_many(audios))
         _, ck, cv = self._encode(mel_batch, options)
         self._detected_language = None
-        if options.language:
-            langs: list[str] = [options.language] * len(audios)
-        elif not self.is_multilingual:
-            langs = ["en"] * len(audios)
-        else:
-            langs = self._detect_languages_per_row(ck, cv, len(audios))
+        langs = self._group_languages(options, ck, cv, len(audios), per_row=True)
         decodes = self._decode_with_fallback(ck, cv, options, langs, 0)
         sp = self.tokenizer.special
         out = []
@@ -908,15 +932,10 @@ class WhisperPipeline:
             # TranscribeTask.swift:327 → TextDecoder.swift:420 — and the
             # rows are different time ranges, so code-switched audio gets
             # per-window languages); an unset language detects once/file
-            if options.language:
-                group_langs = [options.language] * group
-            elif options.detect_language and self.is_multilingual:
-                row_langs = self._detect_languages_per_row(ck, cv, n_real)
-                group_langs = row_langs + [row_langs[0]] * (group - n_real)
-            else:
-                group_langs = [
-                    self._resolve_language(options, ck, cv, n_real)
-                ] * group
+            group_langs = self._group_languages(
+                options, ck, cv, n_real,
+                pad_to=group, per_row=options.detect_language,
+            )
             batch_decodes = self._decode_with_fallback(
                 ck, cv, options, group_langs, start
             )[:n_real]
@@ -987,17 +1006,26 @@ class WhisperPipeline:
         # result.language = the majority language across decoded windows
         # (NOT last-group-wins); per-segment .language carries the detail
         # on code-switched audio
-        window_langs = [wd.language for wd in decodes if wd is not None]
-        if window_langs:
-            counts: dict[str, int] = {}
-            for lg in window_langs:
-                counts[lg] = counts.get(lg, 0) + 1
-            language = max(counts, key=lambda k: (counts[k], -window_langs.index(k)))
-        else:
-            language = options.language
-        return TranscriptionResult(
-            text=text.strip(), segments=all_segments, language=language or "en"
+        language = self._majority_language(
+            [wd.language for wd in decodes if wd is not None], options
         )
+        return TranscriptionResult(
+            text=text.strip(), segments=all_segments, language=language
+        )
+
+    @staticmethod
+    def _majority_language(
+        window_langs: list, options: DecodingOptions
+    ) -> str:
+        """Majority language across a file's decoded windows (ties break to
+        the earlier-seen language); per-segment .language carries the
+        per-window detail on code-switched audio."""
+        if not window_langs:
+            return options.language or "en"
+        counts: dict[str, int] = {}
+        for lg in window_langs:
+            counts[lg] = counts.get(lg, 0) + 1
+        return max(counts, key=lambda k: (counts[k], -window_langs.index(k)))
 
     def _resolve_language(self, options: DecodingOptions, ck, cv, n_rows=None) -> str:
         """Resolve the decode language for the current window/group.
@@ -1076,6 +1104,7 @@ class WhisperPipeline:
 
         all_segments: list[TranscriptionSegment] = []
         language = options.language
+        window_langs: list[str] = []
         window_index = 0
 
         for clip_start, clip_end in seek_clips:
@@ -1113,6 +1142,7 @@ class WhisperPipeline:
                 wd = self._decode_with_fallback(
                     ck, cv, options, language, window_index
                 )[0]
+                window_langs.append(wd.language)
                 self.timings.total_decoding_windows += 1
                 if self.timings.first_token_time == 0.0:
                     self.timings.first_token_time = time.perf_counter()
@@ -1173,7 +1203,9 @@ class WhisperPipeline:
         return TranscriptionResult(
             text=text.strip(),
             segments=all_segments,
-            language=language or "en",
+            # majority across decoded windows — the same no-last-window-wins
+            # rule as the VAD path (per-segment .language has the detail)
+            language=self._majority_language(window_langs, options),
         )
 
     # -- subclass hooks ------------------------------------------------------
