@@ -69,18 +69,27 @@ def run_load(
         sampler_thread = threading.Thread(target=sampler, daemon=True)
         sampler_thread.start()
 
+    # Latency must be stamped at COMPLETION time (done-callback), not when
+    # this thread gets around to observing the future: with mixed-duration
+    # staggered arrivals a short request can finish while we are still
+    # blocked on an earlier long one, and an observe-order stamp would
+    # inflate its latency by the wait (r9 self-review finding).
+    done_at: dict[int, float] = {}
     submitted = []
     for i, clip in enumerate(clips):
         if arrival_gaps is not None:
             wait = t_start + arrival_gaps[i] - time.perf_counter()
             if wait > 0:
                 time.sleep(wait)
-        submitted.append((time.perf_counter(), sched.submit(clip, options)))
-    lat = []
-    for t0, f in submitted:
+        f = sched.submit(clip, options)
+        f.add_done_callback(
+            lambda _f, i=i: done_at.setdefault(i, time.perf_counter())
+        )
+        submitted.append((time.perf_counter(), f))
+    for _, f in submitted:
         f.result(timeout=timeout)
-        lat.append(time.perf_counter() - t0)
     wall = time.perf_counter() - t_start
+    lat = [done_at[i] - t0 for i, (t0, _) in enumerate(submitted)]
     if sampler_thread is not None:
         stop_sampler.set()
         sampler_thread.join(timeout=2)
