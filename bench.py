@@ -156,7 +156,8 @@ def main() -> None:
         variant_name: str, group: int, int8_kv: bool = False, w8a16: bool = False,
         w4a16: bool = False, passes: int | None = None,
     ):
-        """→ (rtf, pass_rtfs, n_segments, decode_loops, windows); frees the
+        """→ (rtf, pass_rtfs, n_segments, decode_loops, windows, ttft_s);
+        frees the
         pipeline's device buffers before returning so runs don't contend
         for HBM. rtf is the WORST of the timed passes (all recorded) —
         the conservative acceptance methodology (CLAUDE.md / BENCHMARKS
@@ -197,6 +198,9 @@ def main() -> None:
             len(result.segments),
             int(pipe.timings.total_decoding_loops),
             int(pipe.timings.total_decoding_windows),
+            # last timed pass's time-to-first-token (Models.swift:483):
+            # mel+encode+first batched decode of the first VAD group
+            round(pipe.timings.time_to_first_token, 3),
         )
         pipe.params = None  # drop the device buffers (3 GB for large-v3)
         del pipe, result
@@ -215,7 +219,7 @@ def main() -> None:
     # documented worst-of-3 acceptance bar (VERDICT r3 weak #3 closed the
     # best-of-2 drift). Cross-session transport condition rides along as
     # tunnel_dispatch_ms + the degraded_tunnel marker below.
-    rtf, headline_runs, n_segments, decode_loops, n_windows = run_pipeline(
+    rtf, headline_runs, n_segments, decode_loops, n_windows, ttft_s = run_pipeline(
         variant, 32 if on_tpu else 4, int8_kv=on_tpu
     )
     pipeline_s = rtf * len(audio) / 16_000
@@ -228,11 +232,11 @@ def main() -> None:
     if on_tpu:
         # secondaries: 2 timed passes each (worst-of-2) to bound the
         # round-end bench wall time; the headline gets the full 3
-        bf16_rtf, _, _, _, _ = run_pipeline(variant, 16, passes=2)
+        bf16_rtf, _, _, _, _, _ = run_pipeline(variant, 16, passes=2)
         # W8A16 at b=32 (r4): the r3 OOM was the bf16 cross-KV peak, not
         # the hoisted dequants — with the fused per-layer int8 cross-KV it
         # fits (probe: 0.00591/0.00617, tools/probe_w8a16_b32.py)
-        quant_rtf, _, _, _, _ = run_pipeline(
+        quant_rtf, _, _, _, _, _ = run_pipeline(
             variant, 32, int8_kv=True, w8a16=True, passes=2
         )
         try:
@@ -240,7 +244,7 @@ def main() -> None:
             # than W8A16 (0.01052 vs 0.00662, BENCHMARKS "W4A16") — kept as
             # a tracked secondary; guarded so a compile/OOM surprise cannot
             # take down the headline output
-            w4_rtf, _, _, _, _ = run_pipeline(
+            w4_rtf, _, _, _, _, _ = run_pipeline(
                 variant, 32, int8_kv=True, w4a16=True, passes=2
             )
         except Exception:
@@ -250,7 +254,7 @@ def main() -> None:
             print("w4a16 secondary failed:", file=sys.stderr)
             traceback.print_exc()
             w4_rtf = None
-        turbo_rtf, _, _, _, _ = run_pipeline("large-v3-turbo", 32, passes=2)
+        turbo_rtf, _, _, _, _, _ = run_pipeline("large-v3-turbo", 32, passes=2)
 
     # ---- secondary: serving under concurrent load (VERDICT r2 #2) ----------
     # 32 simultaneous 30 s requests through BatchScheduler on the blessed
@@ -348,6 +352,7 @@ def main() -> None:
         "headline_runs": headline_runs,
         f"micro_rtf_32tok_b{batch}": round(micro_rtf, 5),
         "segments": n_segments,
+        "time_to_first_token_s": ttft_s,
         "tokens_per_second": round(decode_loops / pipeline_s, 1),
         "windows": n_windows,
     }

@@ -939,6 +939,11 @@ class WhisperPipeline:
             batch_decodes = self._decode_with_fallback(
                 ck, cv, options, group_langs, start
             )[:n_real]
+            if self.timings.first_token_time == 0.0:
+                # first group's tokens land together (batched decode);
+                # stamp TTFT at its completion — the VAD-path analog of
+                # the seek path's per-window stamp (Models.swift:483)
+                self.timings.first_token_time = time.perf_counter()
             for i, wd in zip(batch_ids, batch_decodes):
                 decodes[i] = wd
             # One callback per finished WINDOW of the group (the reference's
