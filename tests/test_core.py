@@ -72,6 +72,11 @@ def test_variant_detection():
     assert detect_variant(51865, 1024) == "medium"
     assert detect_variant(51866, 1280) == "large-v3"
     assert detect_variant(51865, 1280) == "large-v2"
+    # "large" (v1) shares v2's dims exactly — detection prefers v2, but the
+    # variant is loadable by name (Models.swift:39-88 lists both)
+    from whisperkit_tpu.models.whisper import VARIANT_DIMS
+
+    assert VARIANT_DIMS["large"] == VARIANT_DIMS["large-v2"]
     assert is_model_multilingual(51865)
     assert not is_model_multilingual(51864)
 

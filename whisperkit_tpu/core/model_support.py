@@ -31,8 +31,8 @@ class DeviceSupport:
 
 _ALL_VARIANTS = [
     "tiny", "tiny.en", "base", "base.en", "small", "small.en",
-    "medium", "medium.en", "large-v2", "large-v3", "large-v3-turbo",
-    "distil-large-v3",
+    "medium", "medium.en", "large", "large-v2", "large-v3",
+    "large-v3-turbo", "distil-large-v3",
 ]
 
 # Fallback matrix (reference: Models.swift:1465-1662) re-keyed for this

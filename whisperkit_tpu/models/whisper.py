@@ -62,6 +62,8 @@ VARIANT_DIMS: dict[str, WhisperDims] = {
     "small.en": WhisperDims(80, 51864, 1500, 768, 12, 12, 448, 768, 12, 12),
     "medium": WhisperDims(80, 51865, 1500, 1024, 16, 24, 448, 1024, 16, 24),
     "medium.en": WhisperDims(80, 51864, 1500, 1024, 16, 24, 448, 1024, 16, 24),
+    # "large" (v1) shares v2's dims exactly (Models.swift:39-88 lists both)
+    "large": WhisperDims(80, 51865, 1500, 1280, 20, 32, 448, 1280, 20, 32),
     "large-v2": WhisperDims(80, 51865, 1500, 1280, 20, 32, 448, 1280, 20, 32),
     "large-v3": WhisperDims(128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 32),
     "large-v3-turbo": WhisperDims(128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 4),
