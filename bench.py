@@ -289,6 +289,14 @@ def main() -> None:
         # two can't drift; full sweep incl. 0.5×/2× and mixed durations
         # lives in perf_serve.
         cap_rps = 32.0 / wall  # requests/s of 30 s clips
+        # bucket-ladder warmup: Poisson arrivals form PARTIAL batches that
+        # the scheduler pads to power-of-two buckets (1/2/4/8/16) — each a
+        # fresh encode+decode compile on a cold cache (20-120 s over the
+        # relay) that would otherwise land INSIDE the timed staggered run
+        # (same reason tools/perf_serve.py warms every bucket)
+        for k in (1, 2, 4, 8, 16):
+            for f in [sched.submit(clip30, options) for _ in range(k)]:
+                f.result(timeout=3600)
         stag = run_load(
             sched, pipe, [clip30] * 16, options,
             arrival_gaps=poisson_gaps(

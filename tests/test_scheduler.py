@@ -400,3 +400,26 @@ def test_scheduler_long_latency_request_demoted_to_batched(pipe):
     # window) — 3 windows + 1 short = ≤2 batches, not 4
     assert sched.batches_run <= 2
     sched.shutdown()
+
+
+def test_scheduler_zero_window_request_resolves_and_collector_survives(pipe):
+    """A long request whose clip_timestamps select an empty region expands
+    to ZERO windows: its future must still resolve (empty result, matching
+    the pipeline's own zero-chunk VAD behavior) and the collector thread
+    must survive to serve later requests (an unguarded selection pass on
+    an empty pending list used to raise StopIteration and kill it)."""
+    sched = BatchScheduler(pipe, max_batch=4, max_wait_ms=50.0)
+    rng = np.random.default_rng(7)
+    long_audio = (rng.standard_normal(16000 * 40) * 0.1).astype(np.float32)
+    f_empty = sched.submit(
+        long_audio,
+        DecodingOptions(**OPTS, chunking_strategy="vad",
+                        clip_timestamps=[39.0, 39.0]),
+    )
+    r = f_empty.result(timeout=60)
+    assert r.segments == [] and r.text == ""
+    # the scheduler is still alive: a normal request completes
+    short = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    r2 = sched.submit(short, DecodingOptions(**OPTS)).result(timeout=300)
+    assert r2.segments is not None
+    sched.shutdown()

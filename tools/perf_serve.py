@@ -160,6 +160,14 @@ def main() -> None:
         "mixed": [clip30] * 48 + [clip90] * 8,
     }
     names = args.scenarios.split(",")
+    known = set(scenarios) | {
+        "poisson05", "poisson1", "poisson2", "latency4", "latency1",
+    }
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        # fail FAST: a typo'd scenario silently skipping would burn a long
+        # TPU session measuring nothing
+        sys.exit(f"unknown scenario(s) {unknown}; known: {sorted(known)}")
     for name in names:
         if name in scenarios:
             out = run_scenario(name, scenarios[name])

@@ -9,8 +9,10 @@ install time, Package.swift; a wheel can't assume that):
   2. `whisperkit_tpu/_native/libwhisperkit_audio.so` — prebuilt inside an
      installed wheel (setup.py build hook);
   3. `<repo>/native/libwhisperkit_audio.so` — the dev checkout layout;
-  4. lazily built into `~/.cache/whisperkit_tpu/native/` from the sources
-     shipped with the package (`_native/`) or the repo checkout.
+  4. lazily built into `~/.cache/whisperkit_tpu/native/<source-hash>/`
+     from the sources shipped with the package (`_native/`) or the repo
+     checkout (hash-keyed so a stale cached .so can't shadow newer
+     sources after a wheel upgrade).
 """
 
 from __future__ import annotations
@@ -39,11 +41,29 @@ _lib: Optional[ctypes.CDLL] = None
 _build_attempted = False
 
 
+def _source_hash() -> Optional[str]:
+    """Short content hash of the shipped decoder sources. Keys the user
+    cache dir so a wheel upgrade that changes the C++ (a new function
+    signature, a decode fix) can never be shadowed by a stale cached .so
+    built from older sources — ctypes would call the new Python prototype
+    against the old native ABI."""
+    src = _source_dir()
+    if src is None:
+        return None
+    import hashlib
+
+    h = hashlib.sha1()
+    for s in _SOURCES:
+        h.update((src / s).read_bytes())
+    return h.hexdigest()[:12]
+
+
 def _cache_native_dir() -> Path:
     base = Path(
         os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
     )
-    return base / "whisperkit_tpu" / "native"
+    tag = _source_hash() or "unversioned"
+    return base / "whisperkit_tpu" / "native" / tag
 
 
 def _candidate_paths() -> list[Path]:

@@ -76,23 +76,33 @@ def run_load(
     # inflate its latency by the wait (r9 self-review finding).
     done_at: dict[int, float] = {}
     submitted = []
-    for i, clip in enumerate(clips):
-        if arrival_gaps is not None:
-            wait = t_start + arrival_gaps[i] - time.perf_counter()
-            if wait > 0:
-                time.sleep(wait)
-        f = sched.submit(clip, options)
-        f.add_done_callback(
-            lambda _f, i=i: done_at.setdefault(i, time.perf_counter())
-        )
-        submitted.append((time.perf_counter(), f))
-    for _, f in submitted:
-        f.result(timeout=timeout)
-    wall = time.perf_counter() - t_start
+    try:
+        for i, clip in enumerate(clips):
+            if arrival_gaps is not None:
+                wait = t_start + arrival_gaps[i] - time.perf_counter()
+                if wait > 0:
+                    time.sleep(wait)
+            f = sched.submit(clip, options)
+            f.add_done_callback(
+                lambda _f, i=i: done_at.setdefault(i, time.perf_counter())
+            )
+            submitted.append((time.perf_counter(), f))
+        for _, f in submitted:
+            f.result(timeout=timeout)
+        wall = time.perf_counter() - t_start
+        # result() can return before the done-callback has run (CPython
+        # notifies waiters before invoking callbacks); callbacks fire on
+        # success AND failure, so a bounded spin closes the window
+        deadline = time.perf_counter() + 5.0
+        while len(done_at) < len(submitted) and time.perf_counter() < deadline:
+            time.sleep(0.001)
+    finally:
+        # stop the depth sampler even when a request's result() raises —
+        # a leaked daemon thread would keep polling a shut-down scheduler
+        if sampler_thread is not None:
+            stop_sampler.set()
+            sampler_thread.join(timeout=2)
     lat = [done_at[i] - t0 for i, (t0, _) in enumerate(submitted)]
-    if sampler_thread is not None:
-        stop_sampler.set()
-        sampler_thread.join(timeout=2)
 
     lat_arr = np.asarray(sorted(lat))
     tokens = int(pipeline.timings.total_decoding_loops)

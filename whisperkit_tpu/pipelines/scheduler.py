@@ -205,6 +205,20 @@ class BatchScheduler:
             for c in chunker.chunk_all(region, max_chunk_length=WINDOW_SAMPLES):
                 c.seek_offset_index += clip_start_f * 160
                 chunks.append(c)
+        if not chunks:
+            # e.g. clip_timestamps selecting an empty region: the pipeline's
+            # own VAD path yields an empty result for zero chunks — mirror
+            # it here, or the future would never resolve (and an empty
+            # window list downstream would kill the collector thread)
+            from whisperkit_tpu.core.results import TranscriptionResult
+
+            req.future.set_result(
+                TranscriptionResult(
+                    text="", segments=[],
+                    language=req.options.language or "en",
+                )
+            )
+            return []
         job = _LongJob(
             future=req.future,
             options=req.options,
@@ -264,6 +278,12 @@ class BatchScheduler:
                     self._pending.extend(self._expand(req))
                 except Exception as e:
                     req.future.set_exception(e)
+
+            if not self._pending:
+                # every gathered request expanded to zero windows (resolved
+                # inline by _expand) or failed — nothing to select; a bare
+                # selection here would raise and kill the collector thread
+                continue
 
             # latency-class windows decode ALONE at batch 1, oldest first
             # (b=1 also arms the pipeline's speculative draft-verify loop
@@ -358,6 +378,11 @@ class BatchScheduler:
             ck, cv, options, langs + pad_langs, 0
         )[:n]
 
+        # count the batch BEFORE resolving futures: a caller that resets the
+        # counters the moment its last result() returns (eval/loadgen.py)
+        # must not see this batch's accounting land after its reset
+        self.batches_run += 1
+        self.windows_run += n
         for w, wd, language in zip(group, decodes, langs):
             if w.parent is None:
                 self._finish_short(w, wd, language)
@@ -371,8 +396,6 @@ class BatchScheduler:
                 if w.parent.complete:
                     self._finish_long(w.parent)
                     self.jobs_run += 1
-        self.batches_run += 1
-        self.windows_run += n
 
     def _segments_for_window(
         self, wd, options, *, seek_offset: int, window_frames: int,

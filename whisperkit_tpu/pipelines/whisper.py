@@ -1030,7 +1030,9 @@ class WhisperPipeline:
         counts: dict[str, int] = {}
         for lg in window_langs:
             counts[lg] = counts.get(lg, 0) + 1
-        return max(counts, key=lambda k: (counts[k], -window_langs.index(k)))
+        # max() keeps the FIRST key with the maximal count, and dict order
+        # is first-seen — ties already break to the earlier language
+        return max(counts, key=counts.get)
 
     def _resolve_language(self, options: DecodingOptions, ck, cv, n_rows=None) -> str:
         """Resolve the decode language for the current window/group.
