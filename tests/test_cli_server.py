@@ -482,3 +482,106 @@ def test_server_priority_field(pipe, wav_bytes, monkeypatch):
     asyncio.run(go())
     assert ("latency", 1) in seen
 
+
+
+@pytest.mark.parametrize("batching", [True, False])
+def test_server_streaming_concurrent_requests(pipe, wav_bytes, batching):
+    """Concurrent SSE requests must be safe: with batching on they ride the
+    continuous batcher (the pipeline object is not thread-safe — per-request
+    threads used to race it and the scheduler's collector); with batching
+    off, direct pipeline use is serialized behind the server's lock."""
+    import asyncio
+
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from whisperkit_tpu.server.openai_api import create_app
+
+    async def one(client):
+        form = aiohttp.FormData()
+        form.add_field("file", wav_bytes, filename="t.wav",
+                       content_type="audio/wav")
+        form.add_field("language", "en")
+        form.add_field("stream", "true")
+        resp = await client.post("/v1/audio/transcriptions", data=form)
+        assert resp.status == 200
+        return await resp.text()
+
+    async def go():
+        app = create_app(pipe, batching=batching, max_batch=4)
+        async with TestClient(TestServer(app)) as client:
+            bodies = await asyncio.gather(one(client), one(client), one(client))
+            for body in bodies:
+                assert "transcript.text.delta" in body
+                assert "transcript.text.done" in body
+                assert "[DONE]" in body
+
+    asyncio.run(go())
+
+
+def test_cli_tts_quantization_flag_reaches_pipeline(tmp_path, monkeypatch):
+    """`tts --quantization w8a16` must build a quantized TTSPipeline (the
+    flag used to be parsed but silently ignored for tts/diarize)."""
+    from whisperkit_tpu.cli import main as cli_main
+    from whisperkit_tpu.pipelines import tts as tts_mod
+
+    seen = {}
+
+    class FakeResult:
+        duration_seconds = 1.0
+
+        def save(self, path):
+            seen["saved"] = path
+
+    class FakeTTS:
+        @classmethod
+        def from_pretrained(cls, model_folder=None, **kw):
+            seen.update(kw)
+            return cls()
+
+        def generate(self, text, options):
+            return FakeResult()
+
+    monkeypatch.setattr(tts_mod, "TTSPipeline", FakeTTS)
+    out = tmp_path / "o.wav"
+    rc = cli_main.main(
+        ["tts", "--text", "hi", "--quantization", "w8a16",
+         "--output-path", str(out)]
+    )
+    assert rc == 0
+    assert seen["quantize"] == "w8a16"
+
+
+def test_cli_diarize_quantization_flag(monkeypatch, capsys):
+    """`diarize --quantization w8a16` selects the quantized speaker variant;
+    w4a16 (not in the pyannote matrix) is a clean CLI error, not a
+    traceback."""
+    from whisperkit_tpu.cli import main as cli_main
+    from whisperkit_tpu.pipelines import diarize as dz
+    from whisperkit_tpu.speaker.results import DiarizationResult
+
+    seen = {}
+
+    class FakeDia:
+        VARIANTS = dz.DiarizePipeline.VARIANTS
+
+        @classmethod
+        def from_pretrained(cls, model_folder=None, variant="w32a32", **kw):
+            seen["variant"] = variant
+            return cls()
+
+        def diarize(self, path, options=None):
+            return DiarizationResult(segments=[], num_speakers=0)
+
+    monkeypatch.setattr(dz, "DiarizePipeline", FakeDia)
+    rc = cli_main.main(
+        ["diarize", "--audio-path", "x.wav", "--quantization", "w8a16"]
+    )
+    assert rc == 0
+    assert seen["variant"] == "w8a16"
+
+    rc = cli_main.main(
+        ["diarize", "--audio-path", "x.wav", "--quantization", "w4a16"]
+    )
+    assert rc == 2
+    assert "not available for diarization" in capsys.readouterr().err

@@ -423,3 +423,58 @@ def test_scheduler_zero_window_request_resolves_and_collector_survives(pipe):
     r2 = sched.submit(short, DecodingOptions(**OPTS)).result(timeout=300)
     assert r2.segments is not None
     sched.shutdown()
+
+
+def test_scheduler_progress_callback_streams_windows_in_order(pipe):
+    """submit(progress_callback=...) fires one delta per decoded window in
+    CHRONOLOGICAL order (windows land out of order across batches), and the
+    concatenated deltas equal the final result text (the server's SSE
+    streaming path rides this instead of racing the pipeline from
+    per-request threads)."""
+    sched = BatchScheduler(pipe, max_batch=4, max_wait_ms=50.0)
+    rng = np.random.default_rng(8)
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    deltas: list[str] = []
+    res = sched.submit(
+        long_audio,
+        DecodingOptions(**OPTS, chunking_strategy="vad"),
+        progress_callback=deltas.append,
+    ).result(timeout=600)
+    assert len(deltas) >= 2  # 65 s → multiple VAD windows
+    assert "".join(deltas).strip() == res.text
+    # short request: exactly one delta, equal to the result text
+    short = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    short_deltas: list[str] = []
+    r2 = sched.submit(
+        short, DecodingOptions(**OPTS), progress_callback=short_deltas.append
+    ).result(timeout=300)
+    assert short_deltas == [r2.text]
+    sched.shutdown()
+
+
+def test_scheduler_progress_callback_cancels_remaining_windows(pipe):
+    """A progress callback returning False after the first delta cancels
+    the job: the future resolves with the partial (decoded-prefix) result
+    instead of hanging, and undecoded windows are dropped."""
+    sched = BatchScheduler(pipe, max_batch=1, max_wait_ms=50.0)
+    rng = np.random.default_rng(9)
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    deltas: list[str] = []
+
+    def cancel_after_first(text: str):
+        deltas.append(text)
+        return False
+
+    res = sched.submit(
+        long_audio,
+        DecodingOptions(**OPTS, chunking_strategy="vad"),
+        progress_callback=cancel_after_first,
+    ).result(timeout=600)
+    assert len(deltas) == 1  # no deltas after the cancel
+    assert res.text == deltas[0].strip()
+    # the scheduler survives and serves later requests
+    short = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    assert sched.submit(short, DecodingOptions(**OPTS)).result(
+        timeout=300
+    ).segments is not None
+    sched.shutdown()

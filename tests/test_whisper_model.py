@@ -337,3 +337,39 @@ def test_quantized_cache_roundtrips_int4_leaves(tmp_path):
         np.asarray(fc1["scale4"], np.float32),
         np.asarray(fc1b["scale4"], np.float32),
     )
+
+
+def test_checkpoint_caches_reject_stale_sources(tmp_path):
+    """Overwriting the checkpoint IN PLACE (re-export, new revision into
+    the same folder) must invalidate both on-disk caches: they record a
+    fingerprint of the source safetensors/config (size+mtime), and a
+    mismatch reconverts/requantizes instead of silently serving the OLD
+    weights (r10 verification caught the converted cache doing exactly
+    that on a rebuilt checkpoint)."""
+    import torch
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    torch.manual_seed(0)
+    WhisperForConditionalGeneration(WhisperConfig(**TINY_CFG)).save_pretrained(
+        tmp_path, safe_serialization=True
+    )
+    _, params_a, _ = load_whisper(tmp_path)  # writes converted cache
+    _, qparams_a, _ = load_whisper(tmp_path, quantization="w8a16")
+    emb_a = np.asarray(params_a["decoder"]["token_embed"], np.float32)
+
+    # new weights, same folder, same shapes/sizes (mtime flags staleness)
+    torch.manual_seed(7)
+    WhisperForConditionalGeneration(WhisperConfig(**TINY_CFG)).save_pretrained(
+        tmp_path, safe_serialization=True
+    )
+    from whisperkit_tpu.models.loader import load_converted, load_quantized
+
+    assert load_converted(tmp_path) is None
+    assert load_quantized(tmp_path, "w8a16") is None
+    _, params_b, _ = load_whisper(tmp_path)
+    emb_b = np.asarray(params_b["decoder"]["token_embed"], np.float32)
+    assert not np.array_equal(emb_a, emb_b), "stale cache served old weights"
+    # self-heal: the reload rewrote fresh caches that now validate
+    assert load_converted(tmp_path) is not None
+    _, qparams_b, _ = load_whisper(tmp_path, quantization="w8a16")
+    assert load_quantized(tmp_path, "w8a16") is not None

@@ -365,7 +365,20 @@ def cmd_diarize(args) -> int:
     from whisperkit_tpu.pipelines.diarize import DiarizePipeline, DiarizationOptions
 
     _probe_device_or_raise(args)
-    pipe = DiarizePipeline.from_pretrained(model_folder=args.model_folder)
+    # --quantization maps onto the pyannote variant matrix (w8a16 is the
+    # quantized speaker recipe; 4-bit speaker models don't exist in the
+    # reference matrix either, PyannoteConfig.swift:11-41)
+    variant = args.quantization or "w32a32"
+    if variant not in DiarizePipeline.VARIANTS:
+        print(
+            f"--quantization {variant} is not available for diarization "
+            f"(choices: {', '.join(DiarizePipeline.VARIANTS)})",
+            file=sys.stderr,
+        )
+        return 2
+    pipe = DiarizePipeline.from_pretrained(
+        model_folder=args.model_folder, variant=variant
+    )
     result = pipe.diarize(
         args.audio_path,
         DiarizationOptions(
@@ -385,7 +398,10 @@ def cmd_tts(args) -> int:
     from whisperkit_tpu.pipelines.tts import TTSPipeline, GenerationOptions
 
     _probe_device_or_raise(args)
-    pipe = TTSPipeline.from_pretrained(model_folder=args.model_folder)
+    pipe = TTSPipeline.from_pretrained(
+        model_folder=args.model_folder,
+        quantize=args.quantization or False,
+    )
     result = pipe.generate(
         args.text,
         GenerationOptions(

@@ -243,6 +243,23 @@ def convert_hf_state_dict(
 # ---------------------------------------------------------------------------
 
 
+def _source_fingerprint(folder: Path) -> list:
+    """Cheap staleness key for the on-disk caches: (name, size, mtime_ns)
+    of every source artifact the converted tree derives from. Both caches
+    used to be keyed by EXISTENCE only, so updating model.safetensors in
+    place (re-export, new revision into the same folder) silently kept
+    serving the OLD weights — caught live in r10 verification. Content
+    hashing would read multi-GB files; size+mtime is the make-style check
+    (same hazard class as the hash-keyed native-lib build cache,
+    audio/native.py)."""
+    out = []
+    for p in sorted(folder.glob("*.safetensors")) + [folder / "config.json"]:
+        if p.exists():
+            st = p.stat()
+            out.append([p.name, st.st_size, st.st_mtime_ns])
+    return out
+
+
 def save_converted(folder: Union[str, Path], dims: WhisperDims, params) -> Path:
     """Persist the converted pytree with Orbax so large models skip the
     safetensors parse + per-tensor transpose on later loads.
@@ -260,7 +277,10 @@ def save_converted(folder: Union[str, Path], dims: WhisperDims, params) -> Path:
     with ocp.StandardCheckpointer() as saver:
         saver.save(ckpt, params, force=True)
     with open(folder / "converted_dims.json", "w") as f:
-        json.dump(dataclasses.asdict(dims), f)
+        json.dump(
+            {**dataclasses.asdict(dims), "_source": _source_fingerprint(folder)},
+            f,
+        )
     return ckpt
 
 
@@ -287,7 +307,11 @@ def save_quantized(
         from whisperkit_tpu.ops.quant import quant_format
 
         json.dump(
-            {**dataclasses.asdict(dims), "_quant_format": quant_format(scheme)},
+            {
+                **dataclasses.asdict(dims),
+                "_quant_format": quant_format(scheme),
+                "_source": _source_fingerprint(folder),
+            },
             f,
         )
     return ckpt
@@ -323,6 +347,15 @@ def load_quantized(
             f"quantized cache {ckpt.name} has a stale pack format; requantizing"
         )
         return None
+    # source-staleness check: the checkpoint the cache was built from must
+    # be byte-for-byte the one on disk now (missing key = pre-fingerprint
+    # cache of unknown provenance → rebuild once, the safe direction)
+    if meta.pop("_source", None) != _source_fingerprint(folder):
+        logging.debug(
+            f"quantized cache {ckpt.name} predates the current checkpoint "
+            "sources; requantizing"
+        )
+        return None
     dims = WhisperDims(**meta)
     bits = 4 if scheme == "w4a16" else 8
     abstract = jax.eval_shape(
@@ -345,7 +378,14 @@ def load_converted(folder: Union[str, Path]) -> Optional[tuple[WhisperDims, dict
     if not (ckpt.exists() and dims_path.exists()):
         return None
     with open(dims_path) as f:
-        dims = WhisperDims(**json.load(f))
+        meta = json.load(f)
+    if meta.pop("_source", None) != _source_fingerprint(folder):
+        logging.debug(
+            f"converted cache {ckpt.name} predates the current checkpoint "
+            "sources; reconverting"
+        )
+        return None
+    dims = WhisperDims(**meta)
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         init_params_abstract(dims),

@@ -39,7 +39,7 @@ import math
 import queue
 import threading
 import time
-from typing import Optional
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -95,6 +95,13 @@ class _LongJob:
     metas: list[tuple[int, int]]  # per window: (seek_offset samples, frames)
     decodes: dict[int, object] = dataclasses.field(default_factory=dict)
     language: Optional[str] = None
+    # per-window progress stream (server SSE): called with each window's
+    # text in CHRONOLOGICAL order (windows land out of order across
+    # batches; `emitted` tracks the contiguous-from-0 frontier). Returning
+    # False cancels the job's not-yet-decoded windows.
+    callback: Optional[Callable[[str], Optional[bool]]] = None
+    emitted: int = 0
+    cancelled: bool = False
 
     @property
     def complete(self) -> bool:
@@ -113,6 +120,7 @@ class _Window:
     parent: Optional[_LongJob] = None  # long-request chunks
     index: int = 0
     seek_offset: int = 0
+    callback: Optional[Callable[[str], Optional[bool]]] = None  # short requests
 
 
 @dataclasses.dataclass
@@ -121,6 +129,7 @@ class _Request:
     options: DecodingOptions
     future: concurrent.futures.Future
     enqueued_at: float
+    progress_callback: Optional[Callable[[str], Optional[bool]]] = None
 
 
 class BatchScheduler:
@@ -150,15 +159,26 @@ class BatchScheduler:
     # -- public API ----------------------------------------------------------
 
     def submit(
-        self, audio: np.ndarray, options: Optional[DecodingOptions] = None
+        self,
+        audio: np.ndarray,
+        options: Optional[DecodingOptions] = None,
+        progress_callback: Optional[Callable[[str], Optional[bool]]] = None,
     ) -> "concurrent.futures.Future[TranscriptionResult]":
+        """`progress_callback`, when given, receives each decoded window's
+        text in chronological order (fired on the collector thread — the
+        server marshals it onto its event loop). Returning False cancels
+        the request's not-yet-decoded windows; the future then resolves
+        with the partial result (window granularity — a window already in
+        a batch completes)."""
         options = options or DecodingOptions()
         future: concurrent.futures.Future = concurrent.futures.Future()
         audio = np.asarray(audio, np.float32)
         # ALL pipeline use (including VAD chunking of long requests) is
         # serialized on the collector thread: the pipeline object is not
         # thread-safe (timings, language cache, lazy mesh)
-        self._queue.put(_Request(audio, options, future, time.perf_counter()))
+        self._queue.put(
+            _Request(audio, options, future, time.perf_counter(), progress_callback)
+        )
         return future
 
     def transcribe(self, audio, options=None, timeout: Optional[float] = None):
@@ -184,7 +204,10 @@ class BatchScheduler:
         """
         if len(req.audio) <= WINDOW_SAMPLES:
             return [
-                _Window(req.audio, req.options, req.enqueued_at, future=req.future)
+                _Window(
+                    req.audio, req.options, req.enqueued_at,
+                    future=req.future, callback=req.progress_callback,
+                )
             ]
         if req.options.priority == "latency":
             req = dataclasses.replace(
@@ -223,6 +246,7 @@ class BatchScheduler:
             future=req.future,
             options=req.options,
             audio_seconds=len(req.audio) / SAMPLE_RATE,
+            callback=req.progress_callback,
             metas=[
                 (
                     c.seek_offset_index,
@@ -393,9 +417,38 @@ class BatchScheduler:
                 # of one job can land in different batches in any order)
                 if w.index == 0 or w.parent.language is None:
                     w.parent.language = language
-                if w.parent.complete:
+                self._emit_progress(w.parent)
+                if w.parent.complete and not w.parent.future.done():
                     self._finish_long(w.parent)
                     self.jobs_run += 1
+
+    def _emit_progress(self, job: _LongJob) -> None:
+        """Fire the job's progress callback for every window whose decode
+        has landed AND whose chronological predecessors have all been
+        emitted (deltas must append in order even though windows land out
+        of order across batches). A False return cancels the job: its
+        undecoded windows are dropped from the pending list and the future
+        resolves with the partial (contiguously decoded) result."""
+        if job.callback is None or job.cancelled or job.future.done():
+            return
+        text_options = dataclasses.replace(job.options, word_timestamps=False)
+        while job.emitted in job.decodes:
+            i = job.emitted
+            seek_offset, window_frames = job.metas[i]
+            text = "".join(
+                s.text
+                for s in self._segments_for_window(
+                    job.decodes[i], text_options,
+                    seek_offset=seek_offset, window_frames=window_frames,
+                )
+            )
+            job.emitted += 1
+            if job.callback(text) is False:
+                job.cancelled = True
+                self._pending = [p for p in self._pending if p.parent is not job]
+                self._finish_long(job, partial=True)
+                self.jobs_run += 1
+                return
 
     def _segments_for_window(
         self, wd, options, *, seek_offset: int, window_frames: int,
@@ -436,16 +489,22 @@ class BatchScheduler:
                 segments=segments, language=language,
             )
             result.timings.input_audio_seconds = len(w.audio) / SAMPLE_RATE
+            if w.callback is not None:
+                w.callback(result.text)  # one window: one delta, then done
             w.future.set_result(result)
         except Exception as e:
             w.future.set_exception(e)
 
-    def _finish_long(self, job: _LongJob) -> None:
+    def _finish_long(self, job: _LongJob, partial: bool = False) -> None:
+        """`partial=True` (progress-callback cancellation) resolves with the
+        contiguously decoded prefix; later-landing windows are ignored."""
         if job.future.done():  # an earlier window's batch already failed it
             return
         try:
+            indices = range(job.emitted if partial else len(job.metas))
             all_segments: list[TranscriptionSegment] = []
-            for i, (seek_offset, window_frames) in enumerate(job.metas):
+            for i in indices:
+                seek_offset, window_frames = job.metas[i]
                 all_segments.extend(
                     self._segments_for_window(
                         job.decodes[i], job.options,

@@ -118,6 +118,17 @@ def create_app(
         from whisperkit_tpu.pipelines.scheduler import BatchScheduler
 
         scheduler = BatchScheduler(pipeline, max_batch=max_batch)
+    # The pipeline object is NOT thread-safe (timings, language cache, lazy
+    # mesh — pipelines/scheduler.py serializes all its use on one collector
+    # thread for the same reason). With batching on, every request routes
+    # through the scheduler; with batching OFF, concurrent requests would
+    # call pipeline.transcribe from multiple executor/worker threads, so
+    # direct use is serialized here.
+    pipeline_lock = threading.Lock()
+
+    def _locked_transcribe(audio, options, callback=None):
+        with pipeline_lock:
+            return pipeline.transcribe(audio, options, callback)
 
     async def health(request):
         payload = {"status": "ok", "model_state": str(pipeline.model_state)}
@@ -207,7 +218,7 @@ def create_app(
                 )
             else:
                 result = await loop.run_in_executor(
-                    None, lambda: pipeline.transcribe(audio_path, options)
+                    None, lambda: _locked_transcribe(audio_path, options)
                 )
             body, ctype = _result_payload(result, response_format, task.value)
             return web.Response(text=body, content_type=ctype)
@@ -219,12 +230,17 @@ def create_app(
                 audio_path.unlink(missing_ok=True)
 
     async def _handle_streaming(request, audio_path, options):
-        """SSE: one transcript.text.delta per discovered window, then done.
+        """SSE: one transcript.text.delta per decoded window, then done.
 
         Owns (and deletes) `audio_path`. A client disconnect sets a cancel
         flag that the per-window progress callback turns into an early stop
-        (returning False), so the worker thread winds down instead of
-        transcribing an abandoned request to completion.
+        (returning False), so the decode winds down instead of transcribing
+        an abandoned request to completion.
+
+        With batching on, the request rides the SAME continuous batcher as
+        non-streaming traffic (scheduler progress callbacks emit the
+        deltas) — streaming concurrency shares TPU batches instead of
+        racing the non-thread-safe pipeline from per-request threads.
         """
         resp = web.StreamResponse(
             headers={
@@ -238,23 +254,53 @@ def create_app(
         queue: asyncio.Queue = asyncio.Queue()
         cancelled = threading.Event()
 
-        def progress_callback(progress):
-            if cancelled.is_set():
-                return False  # early-stop the seek loop
-            loop.call_soon_threadsafe(queue.put_nowait, ("delta", progress.text))
-            return None
+        if scheduler is not None:
+            from whisperkit_tpu.audio.io import load_audio
 
-        def run():
+            # the response is already prepared: a load failure must flow
+            # through the SSE error event, not escape to _handle (which
+            # would try to send a second response on this request)
+            audio = None
             try:
-                result = pipeline.transcribe(audio_path, options, progress_callback)
-                loop.call_soon_threadsafe(queue.put_nowait, ("done", result))
-            except Exception as e:
-                loop.call_soon_threadsafe(queue.put_nowait, ("error", e))
+                audio = await loop.run_in_executor(None, load_audio, audio_path)
+            except Exception as e:  # noqa: BLE001 — forwarded as SSE error
+                queue.put_nowait(("error", e))
             finally:
                 audio_path.unlink(missing_ok=True)
 
-        thread = threading.Thread(target=run, daemon=True)
-        thread.start()
+            def window_callback(text: str):
+                if cancelled.is_set():
+                    return False  # drop the job's undecoded windows
+                loop.call_soon_threadsafe(queue.put_nowait, ("delta", text))
+                return None
+
+            def on_done(fut):
+                exc = fut.exception()
+                item = ("error", exc) if exc is not None else ("done", fut.result())
+                loop.call_soon_threadsafe(queue.put_nowait, item)
+
+            if audio is not None:
+                scheduler.submit(
+                    audio, options, progress_callback=window_callback
+                ).add_done_callback(on_done)
+        else:
+
+            def progress_callback(progress):
+                if cancelled.is_set():
+                    return False  # early-stop the seek loop
+                loop.call_soon_threadsafe(queue.put_nowait, ("delta", progress.text))
+                return None
+
+            def run():
+                try:
+                    result = _locked_transcribe(audio_path, options, progress_callback)
+                    loop.call_soon_threadsafe(queue.put_nowait, ("done", result))
+                except Exception as e:
+                    loop.call_soon_threadsafe(queue.put_nowait, ("error", e))
+                finally:
+                    audio_path.unlink(missing_ok=True)
+
+            threading.Thread(target=run, daemon=True).start()
         try:
             while True:
                 kind, value = await queue.get()
