@@ -478,3 +478,44 @@ def test_scheduler_progress_callback_cancels_remaining_windows(pipe):
         timeout=300
     ).segments is not None
     sched.shutdown()
+
+
+def test_scheduler_raising_progress_callback_is_contained(pipe):
+    """A progress callback that RAISES (server event loop closed mid-decode)
+    must act like a cancellation for ITS job only: the long job resolves
+    with the partial result, a short request sharing the scheduler still
+    succeeds, and a short request's own raising callback doesn't fail it."""
+    sched = BatchScheduler(pipe, max_batch=4, max_wait_ms=50.0)
+    rng = np.random.default_rng(11)
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    short = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+
+    deltas: list[str] = []
+
+    def broken(text: str):
+        deltas.append(text)
+        raise RuntimeError("event loop is closed")
+
+    f_long = sched.submit(
+        long_audio,
+        DecodingOptions(**OPTS, chunking_strategy="vad"),
+        progress_callback=broken,
+    )
+    f_short = sched.submit(short, DecodingOptions(**OPTS))
+    res_long = f_long.result(timeout=600)  # partial, NOT an exception
+    assert len(deltas) == 1  # cancelled after the first (raising) delta
+    assert res_long.text == deltas[0].strip()
+    assert f_short.result(timeout=300).segments is not None  # blast radius: none
+
+    # short request with a raising callback: still resolves with its result
+    short_deltas: list[str] = []
+
+    def broken_short(text: str):
+        short_deltas.append(text)
+        raise RuntimeError("event loop is closed")
+
+    r = sched.submit(
+        short, DecodingOptions(**OPTS), progress_callback=broken_short
+    ).result(timeout=300)
+    assert short_deltas == [r.text]
+    sched.shutdown()

@@ -46,6 +46,7 @@ import numpy as np
 
 from whisperkit_tpu.audio.io import SAMPLE_RATE
 from whisperkit_tpu.core.configurations import DecodingOptions
+from whisperkit_tpu.core.logging import logging
 from whisperkit_tpu.core.results import TranscriptionResult, TranscriptionSegment
 from whisperkit_tpu.text.segment_seeker import (
     WINDOW_FRAMES,
@@ -428,7 +429,11 @@ class BatchScheduler:
         emitted (deltas must append in order even though windows land out
         of order across batches). A False return cancels the job: its
         undecoded windows are dropped from the pending list and the future
-        resolves with the partial (contiguously decoded) result."""
+        resolves with the partial (contiguously decoded) result. A callback
+        that RAISES (e.g. the server's call_soon_threadsafe after its event
+        loop closed) is treated as a cancellation: the breakage belongs to
+        this job's consumer and must not propagate into _process_group's
+        error path, which would fail every OTHER request sharing the batch."""
         if job.callback is None or job.cancelled or job.future.done():
             return
         text_options = dataclasses.replace(job.options, word_timestamps=False)
@@ -443,7 +448,12 @@ class BatchScheduler:
                 )
             )
             job.emitted += 1
-            if job.callback(text) is False:
+            try:
+                verdict = job.callback(text)
+            except Exception as e:  # noqa: BLE001 — consumer is broken
+                logging.debug(f"progress callback raised ({e!r}); cancelling job")
+                verdict = False
+            if verdict is False:
                 job.cancelled = True
                 self._pending = [p for p in self._pending if p.parent is not job]
                 self._finish_long(job, partial=True)
@@ -490,7 +500,11 @@ class BatchScheduler:
             )
             result.timings.input_audio_seconds = len(w.audio) / SAMPLE_RATE
             if w.callback is not None:
-                w.callback(result.text)  # one window: one delta, then done
+                try:
+                    w.callback(result.text)  # one window: one delta, then done
+                except Exception as e:  # noqa: BLE001 — consumer is broken;
+                    # the result still resolves (nothing left to cancel)
+                    logging.debug(f"progress callback raised ({e!r}); ignoring")
             w.future.set_result(result)
         except Exception as e:
             w.future.set_exception(e)
