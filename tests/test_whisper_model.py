@@ -373,3 +373,21 @@ def test_checkpoint_caches_reject_stale_sources(tmp_path):
     assert load_converted(tmp_path) is not None
     _, qparams_b, _ = load_whisper(tmp_path, quantization="w8a16")
     assert load_quantized(tmp_path, "w8a16") is not None
+
+
+def test_w8a8_shares_w8a16_cache(torch_whisper):
+    """quantization="w8a8" loads the SAME int8 weight tree as "w8a16"
+    (the A8 half is the encoder's runtime dispatch, not a representation):
+    one quantized cache serves both schemes, and no quantized_w8a8 cache
+    is ever written."""
+    _, folder = torch_whisper
+    from whisperkit_tpu.models.loader import load_quantized
+
+    _, p16, _ = load_whisper(folder, quantization="w8a16")  # writes cache
+    _, p88, _ = load_whisper(folder, quantization="w8a8")  # reads it
+    for a, b in zip(jax.tree.leaves(p16), jax.tree.leaves(p88)):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
+        )
+    assert not (folder / "quantized_w8a8.orbax").exists()
+    assert load_quantized(folder, "w8a16") is not None

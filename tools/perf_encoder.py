@@ -364,6 +364,47 @@ def _attend_splash(q, k, v):
     return out[:, :, :t, :]
 
 
+def _dense_a8(x, p):
+    """W8A8 when the param is int8-quantized; the bf16 path otherwise."""
+    from whisperkit_tpu.ops.quant import quantized_matmul_w8a8
+
+    if "w_q" in p:
+        y = quantized_matmul_w8a8(x, p)
+    else:
+        y = jnp.dot(x, p["w"], precision=_prec(x, p["w"]))
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def encoder_v16(params, mel, dims):
+    """Production path (separate qkv, bf16 scores) with every block linear
+    as an int8×int8 W8A8 dot (params must be quantize_whisper_params'd).
+    Convs and attention stay bf16."""
+    enc = params["encoder"]
+    x = jax.nn.gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], 2))
+    x = x.transpose(0, 2, 1)
+    x = x + enc["pos_embed"].astype(x.dtype)
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        h = layer_norm(x, bp["attn_ln"])
+        q = _dense_a8(h, bp["attn"]["q"])
+        k = _dense_a8(h, bp["attn"]["k"])
+        v = _dense_a8(h, bp["attn"]["v"])
+        out = _attend_bf16(
+            _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head)
+        )
+        x = x + _dense_a8(_merge_heads(out), bp["attn"]["out"])
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + _dense_a8(jax.nn.gelu(_dense_a8(h, bp["fc1"])), bp["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
 def measure(fn, params, mel, label):
     jitted = jax.jit(fn)
     t0 = time.perf_counter()
@@ -417,6 +458,15 @@ def main():
         "v14": (lambda p, m: _make_encoder(_attend_onepass_768, False)(p, m, DIMS), params),
         "v15": (lambda p, m: _make_encoder(_attend_onepass_512, False)(p, m, DIMS), params),
     }
+    if "v16" in args.variants or "v17" in args.variants:
+        from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+        qparams = quantize_whisper_params(params, bits=8)
+        # r11: int8×int8 W8A8 block linears (probe_int8_matmul: ~1.3× MXU)
+        variants["v16"] = (lambda p, m: encoder_v16(p, m, DIMS), qparams)
+        # W8A16 encoder for reference (dequant-into-matmul, compute-bound
+        # here so expected ≈ v0)
+        variants["v17"] = (lambda p, m: _make_encoder(_attend_bf16, False)(p, m, DIMS), qparams)
     print(f"b={B} {DIMS.n_audio_layer}L d{DIMS.n_audio_state}  FLOPs/window batch: {FLOPS/1e12:.1f} TF", flush=True)
     for name in args.variants.split(","):
         fn, p = variants[name]

@@ -33,8 +33,9 @@ def main() -> None:
     ap.add_argument("--variant", default="large-v3")
     ap.add_argument("--group", type=int, default=32)
     ap.add_argument("--minutes", type=float, default=12.0)
-    ap.add_argument("--quant", choices=["w8a16", "w4a16"], default=None,
-                    help="weight-quantize the model before measuring")
+    ap.add_argument("--quant", choices=["w8a16", "w8a8", "w4a16"], default=None,
+                    help="weight-quantize the model before measuring "
+                    "(w8a8 = w8a16 weights + int8-activation encoder)")
     ap.add_argument("--self-kv", dest="self_kv", action="store_true")
     ap.add_argument(
         "--no-cross-kv", dest="cross_kv", action="store_false",
@@ -42,6 +43,11 @@ def main() -> None:
         "large-v3 then needs --group 16 to fit)",
     )
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--timings", action="store_true",
+        help="print the pipeline's per-stage timing report after the last "
+        "timed pass (where does the headline wall actually go?)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -70,7 +76,8 @@ def main() -> None:
             params, bits=4 if args.quant == "w4a16" else 8
         )
     compute = ComputeOptions(
-        quantize_cross_kv=args.cross_kv, quantize_self_kv=args.self_kv
+        quantize_cross_kv=args.cross_kv, quantize_self_kv=args.self_kv,
+        quantization=args.quant,
     )
     pipe = WhisperPipeline(
         WhisperConfig(compute_options=compute), dims=dims, params=params
@@ -80,8 +87,10 @@ def main() -> None:
     rtfs = []
     for _ in range(args.passes):
         t0 = time.perf_counter()
-        pipe.transcribe(audio, options)
+        result = pipe.transcribe(audio, options)
         rtfs.append((time.perf_counter() - t0) / (args.minutes * 60.0))
+    if args.timings:
+        result.timings.log()  # package logger defaults to INFO → stderr
     print(json.dumps({
         "metric": "probe_pipeline_rtf",
         "variant": args.variant, "group": args.group,

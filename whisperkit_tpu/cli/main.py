@@ -30,11 +30,12 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
         "decoding (decoding/speculative.py)",
     )
     p.add_argument(
-        "--quantization", choices=["w8a16", "w4a16"], default=None,
+        "--quantization", choices=["w8a16", "w8a8", "w4a16"], default=None,
         help="quantize linear weights at load (the reference ships these "
         "as separate compressed model folders, fastlane/Fastfile:26-55; "
         "here any checkpoint quantizes on the fly — w4a16 is the analog "
-        "of the 4-bit palettized variants)",
+        "of the 4-bit palettized variants; w8a8 = w8a16 weights plus "
+        "int8-activation ENCODER matmuls, transcribe/serve only)",
     )
     p.add_argument(
         "--device-probe-timeout", type=float, default=90.0,

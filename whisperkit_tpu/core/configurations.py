@@ -116,7 +116,10 @@ class ComputeOptions:
     # "w4a16" = group-wise int4 linear weights (ops/quant.quantize_weight_w4
     # — the TPU analog of the reference's 4-bit palettized variants; S4
     # packs two-per-byte on TPU so the weight-bound b=1 decode reads 4
-    # bits/weight)
+    # bits/weight); "w8a8" = w8a16 weights + int8-ACTIVATION encoder
+    # matmuls (int8×int8 MXU dots on the one compute-bound stage — 354 →
+    # 322 ms b=16 vs 373 ms for the w8a16 dequant path, perf_encoder v16;
+    # shares w8a16's on-disk quantized cache; decoder stays W8A16)
     quantize_cross_kv: bool = False  # int8 decode cross-KV: a real −19%
     # per-step win since the r3 unrolled KV update (2.42 → 1.95 ms/step at
     # b=32 turbo; docs/BENCHMARKS.md) at ~2.6% activation error — opt-in

@@ -89,9 +89,13 @@ class PrefillState(NamedTuple):
     align_prefix: Optional[jnp.ndarray]  # [P, B, A, 1500] or None
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "quantize_kv"))
+@functools.partial(jax.jit, static_argnames=("dims", "quantize_kv", "act8"))
 def encode_window(
-    params, mel: jnp.ndarray, dims: WhisperDims, quantize_kv: bool = False
+    params,
+    mel: jnp.ndarray,
+    dims: WhisperDims,
+    quantize_kv: bool = False,
+    act8: bool = False,
 ):
     """mel [B, n_mels, 3000] → (enc_out [B,1500,D], cross_k, cross_v).
 
@@ -103,8 +107,11 @@ def encode_window(
     compute_cross_kv_quantized): at most ONE layer's bf16 K/V ever exists,
     so the ~8 GB whole-batch bf16 copy (large-v3 b=32) never materializes
     at all — this is what fits 32-window groups on one 16 GB v5e.
+
+    `act8=True` (the "w8a8" scheme) runs int8-quantized encoder linears as
+    int8×int8 MXU dots — models/whisper.encoder_forward.
     """
-    enc_out = encoder_forward(params, mel, dims)
+    enc_out = encoder_forward(params, mel, dims, act8=act8)
     if quantize_kv:
         from whisperkit_tpu.models.whisper import compute_cross_kv_quantized
 

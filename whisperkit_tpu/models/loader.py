@@ -66,6 +66,11 @@ def load_whisper(
     pre-quantized model folders), else quantizing now and writing the
     cache best-effort.
     """
+    if quantization == "w8a8":
+        # w8a8 stores the SAME int8 weight tree as w8a16 (its A8 half is a
+        # runtime dispatch in the encoder, models/whisper.dense) — the two
+        # schemes share one on-disk quantized cache
+        quantization = "w8a16"
     if quantization not in (None, "w8a16", "w4a16"):
         raise ValueError(f"unknown quantization scheme: {quantization!r}")
     folder = Path(folder)

@@ -190,15 +190,21 @@ def layer_norm(x, p, eps=1e-5):
     return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
-def dense(x, p):
+def dense(x, p, a8=False):
+    """a8=True runs int8-quantized linears as int8×int8 MXU dots (W8A8 —
+    the activation row-quantizes in-graph, ops/quant.quantized_matmul_w8a8).
+    Only the COMPUTE-bound encoder passes it (measured r11: encoder 354 →
+    322 ms b=16 large shapes, while the W8A16 dequant path is 373 ms there;
+    the bandwidth-bound decoder gains nothing from A8 and keeps W8A16).
+    No-op for unquantized or int4 params."""
     if "w_q4" in p:  # W4A16 (ops/quant.py): packed int4 + group scales
         from whisperkit_tpu.ops.quant import quantized_matmul_w4
 
         y = quantized_matmul_w4(x, p)
     elif "w_q" in p:  # W8A16 (ops/quant.py): dequant fuses into the matmul
-        from whisperkit_tpu.ops.quant import quantized_matmul
+        from whisperkit_tpu.ops.quant import quantized_matmul, quantized_matmul_w8a8
 
-        y = quantized_matmul(x, p)
+        y = quantized_matmul_w8a8(x, p) if a8 else quantized_matmul(x, p)
     else:
         y = jnp.dot(x, p["w"], precision=_prec(x, p["w"]))
     if "b" in p:
@@ -321,12 +327,12 @@ def _attend(q, k, v, mask=None, capture_probs=False, force_f32_scores=False):
     return out
 
 
-def self_attention(x, p, n_head, mask=None):
-    q = _split_heads(dense(x, p["q"]), n_head)
-    k = _split_heads(dense(x, p["k"]), n_head)
-    v = _split_heads(dense(x, p["v"]), n_head)
+def self_attention(x, p, n_head, mask=None, a8=False):
+    q = _split_heads(dense(x, p["q"], a8), n_head)
+    k = _split_heads(dense(x, p["k"], a8), n_head)
+    v = _split_heads(dense(x, p["v"], a8), n_head)
     out = _attend(q, k, v, mask)
-    return dense(_merge_heads(out), p["out"])
+    return dense(_merge_heads(out), p["out"], a8)
 
 
 # ---------------------------------------------------------------------------
@@ -352,6 +358,7 @@ def encoder_forward(
     mel: jnp.ndarray,
     dims: WhisperDims,
     seq_sharding=None,
+    act8: bool = False,
 ) -> jnp.ndarray:
     """mel [B, n_mels, 3000] → encoder output [B, 1500, d_audio].
 
@@ -363,6 +370,13 @@ def encoder_forward(
     MLP compute locally, and GSPMD inserts the per-layer K/V all-gathers
     the attention einsums need (the "annotate and let XLA insert
     collectives" recipe — no hand-written collectives). Params replicated.
+
+    act8: W8A8 — run int8-quantized block linears as int8×int8 MXU dots
+    (the "w8a8" ComputeOptions scheme). The encoder is the model's one
+    compute-bound stage, so int8's ~1.3× XLA-measured MXU rate pays here
+    (354 → 322 ms b=16, vs 373 ms for the W8A16 dequant path; attention
+    and convs stay bf16 — tools/perf_encoder.py v16). No-op on
+    unquantized params.
     """
     enc = params["encoder"]
     x = jax.nn.gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], 1))
@@ -376,9 +390,9 @@ def encoder_forward(
 
     def block(x, bp):
         h = layer_norm(x, bp["attn_ln"])
-        x = x + self_attention(h, bp["attn"], n_head)
+        x = x + self_attention(h, bp["attn"], n_head, a8=act8)
         h = layer_norm(x, bp["mlp_ln"])
-        x = x + dense(jax.nn.gelu(dense(h, bp["fc1"])), bp["fc2"])
+        x = x + dense(jax.nn.gelu(dense(h, bp["fc1"], act8)), bp["fc2"], act8)
         if seq_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, seq_sharding)
         return x, None

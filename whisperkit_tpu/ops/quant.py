@@ -44,6 +44,31 @@ def quantized_matmul(x: jnp.ndarray, q: dict) -> jnp.ndarray:
     return jnp.dot(x, w)
 
 
+def quantized_matmul_w8a8(x: jnp.ndarray, q: dict) -> jnp.ndarray:
+    """x [..., in] @ int8 w through an int8×int8 MXU dot (W8A8).
+
+    The activation is row-quantized in-graph (symmetric per-token absmax,
+    the `_q8_row_quantize` recipe) and the int32 accumulator rescaled by
+    (row scale × per-output-channel weight scale). v5e's MXU runs int8 at
+    2× the bf16 rate on paper; measured through XLA it is ~1.3× at encoder
+    shapes (tools/probe_int8_matmul.py), so this pays only on
+    COMPUTE-bound paths (the encoder) — the bandwidth-bound decode loop
+    already gets its win from int8 weight reads alone (W8A16)."""
+    x32 = x.astype(jnp.float32)
+    a_scale = jnp.maximum(
+        jnp.abs(x32).max(axis=-1, keepdims=True) / 127.0, 1e-8
+    )
+    xq = jnp.clip(jnp.round(x32 / a_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq,
+        q["w_q"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * a_scale * q["scale"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 # --- W4A16 (4-bit weights, group-wise scales) --------------------------------
 # TPU-native analog of the reference's 4-bit palettized model family (the
 # 626/632 MB compressed variants, fastlane/Fastfile:26-55): instead of a

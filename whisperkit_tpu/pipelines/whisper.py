@@ -159,6 +159,9 @@ class WhisperPipeline:
         # quantization rides the loader: a pre-quantized on-disk cache (the
         # reference's compressed-model-folder analog) short-circuits both
         # the safetensors parse and the quantize pass (models/loader.py)
+        # ("w8a8" loads the same int8 tree as "w8a16" — the loader
+        # normalizes it so both schemes share one on-disk quantized cache;
+        # the A8 half is the pipeline's _act8 encoder dispatch)
         self.dims, self.params, heads = load_whisper(
             folder, quantization=self.config.compute_options.quantization
         )
@@ -193,6 +196,12 @@ class WhisperPipeline:
     @property
     def is_multilingual(self) -> bool:
         return self.dims.n_vocab != 51864 if self.dims else True
+
+    @property
+    def _act8(self) -> bool:
+        """W8A8: int8-activation encoder matmuls (ComputeOptions
+        quantization="w8a8" — int8 weights ride the w8a16 machinery)."""
+        return self.config.compute_options.quantization == "w8a8"
 
     # -- helpers ------------------------------------------------------------
 
@@ -339,7 +348,7 @@ class WhisperPipeline:
             audio = load_audio(audio)
         window = pad_or_trim(np.asarray(audio, np.float32))
         mel = self._mel(window)[None]
-        _, ck, cv = encode_window(self.params, mel, self.dims)
+        _, ck, cv = encode_window(self.params, mel, self.dims, act8=self._act8)
         probs = np.asarray(
             detect_language_logits(
                 self.params, ck, cv, dims=self.dims, special=self.tokenizer.special
@@ -379,7 +388,8 @@ class WhisperPipeline:
         else:
             self._draft_kv = None
         return encode_window(
-            self.params, mel_batch, self.dims, quantize_kv=quantize
+            self.params, mel_batch, self.dims, quantize_kv=quantize,
+            act8=self._act8,
         )
 
     def _detect_language_from_encoded(self, ck, cv, n_rows=None) -> str:
