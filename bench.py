@@ -52,7 +52,12 @@ def synth_speechlike_audio(seconds: float, seed: int = 0) -> np.ndarray:
             out[t : t + n] = np.cumsum(x) / 50.0 * env  # brownish noise
         t += n + gap
     peak = np.abs(out).max() or 1.0
-    return (out / peak * 0.5).astype(np.float32)
+    out = (out / peak * 0.5).astype(np.float32)
+    # land on the 16-bit PCM grid like every real audio source (WAV/FFmpeg
+    # decode is int16-quantized): the pipeline ships grid-exact audio as
+    # int16 over the tunnel (pipelines/whisper._upload_audio, bit-lossless,
+    # half the upload bytes) and the bench should measure that path
+    return (np.rint(out * 32768.0).clip(-32768, 32767) / np.float32(32768.0)).astype(np.float32)
 
 
 def pipeline_options(group: int):

@@ -213,7 +213,7 @@ def test_windows_hear_the_audio(pipe):
     _, p_sil = pipe.detect_language(silence5)
     assert p_noise != p_sil
     # and the mel itself carries signal (not the silence floor)
-    mel = np.asarray(pipe._mel_many([noise5])[0])
+    mel = np.asarray(pipe._mel_batch([noise5])[0])
     assert mel.std() > 0.05 and mel.max() > -1.0
 
 
@@ -226,12 +226,21 @@ def test_mel_windows_from_audio_matches_mel_many(pipe):
     audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
     chunks = VADAudioChunker().chunk_all(audio, max_chunk_length=480_000)
     assert len(chunks) >= 2
-    fused = pipe._mel_windows_from_audio(audio, chunks)
-    ref = pipe._mel_many([c.audio_samples for c in chunks])
-    for a, b in zip(fused, ref):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
-        )
+    store = pipe._mel_windows_from_audio(audio, chunks)
+    assert store.n == len(chunks)
+    fused = store.take(list(range(store.n)))
+    ref = pipe._mel_batch([c.audio_samples for c in chunks])
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+    # arbitrary-order gather with padding reassembles the right rows
+    ids = [len(chunks) - 1, 0]
+    pad = pipe._mel(np.zeros(480_000, np.float32))
+    got = np.asarray(store.take(ids, pad_to=4, pad_row=pad))
+    np.testing.assert_allclose(got[0], np.asarray(ref)[-1], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got[1], np.asarray(ref)[0], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got[2], np.asarray(pad), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(got[3], np.asarray(pad), atol=1e-5, rtol=1e-5)
 
 
 def test_window_pre_post_process_hooks(pipe):
@@ -468,3 +477,87 @@ def test_transcribe_batch_parallel_file_loading(pipe, tmp_path):
     assert not isinstance(out[1], Exception)
     assert isinstance(out[2], Exception)
     assert not isinstance(out[3], Exception)
+
+
+def test_upload_audio_int16_wire_format_is_bit_exact(pipe):
+    """PCM-grid audio ships as int16 over the wire and reconstructs
+    BIT-IDENTICAL f32 on device (i/2^15 is exact in f32 both ways);
+    off-grid float audio keeps the f32 upload untouched."""
+    rng = np.random.default_rng(11)
+    # on-grid: int16-derived samples, the load_audio convention (io.py:150)
+    i16 = (rng.standard_normal(16000) * 4000).astype(np.int16)
+    grid = i16.astype(np.float32) / 32768.0
+    up = pipe._upload_audio(grid)
+    assert up.dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(up), grid)
+    # off-grid float audio: f32 path, values untouched
+    off = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(pipe._upload_audio(off)), off)
+    # off-grid in the TAIL only (prefix check must not accept early):
+    # the first 65536+ samples are grid-exact, one late sample is not
+    late = np.zeros(100_000, np.float32)
+    late[:] = grid[:1]  # grid-exact everywhere...
+    late[90_000] = 0.12345  # ...except one off-grid tail sample
+    np.testing.assert_array_equal(np.asarray(pipe._upload_audio(late)), late)
+
+
+def test_upload_audio_forced_int16_quantizes_to_grid():
+    """ComputeOptions.int16_audio_transfer forces the int16 wire format on
+    off-grid audio: each sample lands on the 16-bit PCM grid within
+    2^-16 — exactly what writing the audio to a 16-bit WAV would do."""
+    from whisperkit_tpu.core.configurations import ComputeOptions, WhisperConfig
+
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    fpipe = WhisperPipeline(
+        WhisperConfig(
+            compute_options=ComputeOptions(int16_audio_transfer=True)
+        ),
+        dims=DIMS, params=params,
+    )
+    rng = np.random.default_rng(12)
+    off = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    up = np.asarray(fpipe._upload_audio(off))
+    assert np.abs(up - off).max() <= 2.0**-16
+    # every shipped value sits exactly on the grid
+    assert np.array_equal(up * 32768.0, np.rint(up * 32768.0))
+
+
+def test_vad_transcription_identical_on_grid_audio(pipe):
+    """End-to-end: the int16 wire format must not change ONE token of a
+    VAD-chunked transcription of PCM-grid audio (the reconstruction is
+    bit-exact, so mels/encodes/decodes are the same graphs on the same
+    bits)."""
+    rng = np.random.default_rng(13)
+    i16 = (rng.standard_normal(16000 * 65) * 3000).astype(np.int16)
+    grid = i16.astype(np.float32) / 32768.0
+    opts = DecodingOptions(chunking_strategy="vad", **OPTS)
+    res_grid = pipe.transcribe(grid, opts)
+    # same audio nudged off-grid by a sub-quantum dither: forces the f32
+    # upload path; tokens must match because the audio differs by <2^-17
+    off = grid + np.float32(2.0**-18)
+    res_off = pipe.transcribe(off, opts)
+    assert [s.tokens for s in res_grid.segments] == [
+        s.tokens for s in res_off.segments
+    ]
+
+
+def test_mel_store_gathers_across_sub_batches():
+    """_MelStore.take assembles rows spanning multiple source sub-batches,
+    in arbitrary order, with tail padding — tiny arrays, no real mels."""
+    import jax.numpy as jnp
+
+    from whisperkit_tpu.pipelines.whisper import _MelStore
+
+    b0 = jnp.arange(32 * 2 * 3, dtype=jnp.float32).reshape(32, 2, 3)
+    b1 = 1000.0 + jnp.arange(5 * 2 * 3, dtype=jnp.float32).reshape(5, 2, 3)
+    store = _MelStore([b0, b1])
+    assert store.n == 37
+    ref = np.concatenate([np.asarray(b0), np.asarray(b1)])
+    ids = [36, 3, 32, 0, 31]  # both sources, shuffled
+    pad = jnp.full((2, 3), -1.0)
+    got = np.asarray(store.take(ids, pad_to=8, pad_row=pad))
+    assert got.shape == (8, 2, 3)
+    np.testing.assert_array_equal(got[: len(ids)], ref[ids])
+    np.testing.assert_array_equal(got[len(ids):], np.broadcast_to(np.asarray(pad), (3, 2, 3)))
+    # identity order, no padding
+    np.testing.assert_array_equal(np.asarray(store.take(list(range(37)))), ref)

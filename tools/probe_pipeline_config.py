@@ -48,6 +48,12 @@ def main() -> None:
         help="print the pipeline's per-stage timing report after the last "
         "timed pass (where does the headline wall actually go?)",
     )
+    ap.add_argument(
+        "--sync-timings", dest="sync_timings", action="store_true",
+        help="block at stage boundaries so the --timings rows show TRUE "
+        "per-stage execution time (ComputeOptions.sync_timings; costs one "
+        "tunnel RTT per stage, so the pass RTFs run slightly pessimistic)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -77,7 +83,7 @@ def main() -> None:
         )
     compute = ComputeOptions(
         quantize_cross_kv=args.cross_kv, quantize_self_kv=args.self_kv,
-        quantization=args.quant,
+        quantization=args.quant, sync_timings=args.sync_timings,
     )
     pipe = WhisperPipeline(
         WhisperConfig(compute_options=compute), dims=dims, params=params

@@ -136,6 +136,21 @@ class ComputeOptions:
     # longer sets everyone's cost). Costs one small host sync per segment,
     # so it is an opt-in serving mode; mid-window cancellation
     # (early_stop_flag) activates the segmented path implicitly.
+    int16_audio_transfer: bool = False  # force the int16 audio WIRE format
+    # for off-grid (float-valued) audio too. PCM-derived audio already
+    # ships as int16 automatically because the conversion is bit-lossless
+    # (pipelines/whisper._upload_audio); forcing it quantizes FFmpeg float
+    # output / resampled audio to the 16-bit grid (≤2^-16/sample — what
+    # writing the same audio to a 16-bit WAV does) to halve upload bytes,
+    # the dominant non-compute term of long-form transcription over a
+    # remote-device transport.
+    sync_timings: bool = False  # block at stage boundaries (mel/encode)
+    # so the per-stage rows of TranscriptionTimings.log() report TRUE
+    # execution time (the reference's logTimings semantics,
+    # Models.swift:478-539). Off by default: JAX dispatch is async, every
+    # stage sync pays one host round trip (5-40 ms over this tunnel), and
+    # without it stage wall simply accumulates at the decode result pull —
+    # the TOTALS (full_pipeline, RTF, tok/s) are always correct.
     mesh_axes: tuple[str, ...] = ("dp", "tp")
     dp_size: Optional[int] = None  # None = infer from devices
     tp_size: int = 1

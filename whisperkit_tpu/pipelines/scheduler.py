@@ -360,7 +360,7 @@ class BatchScheduler:
         audios = [w.audio for w in group] + [
             np.zeros(WINDOW_SAMPLES, np.float32)
         ] * (bucket - n)
-        mel_batch = jnp.stack(pipe._mel_many(audios))
+        mel_batch = pipe._mel_batch(audios)
 
         # pipe._encode honors the serving config (fused int8 cross-KV)
         _, ck, cv = pipe._encode(mel_batch, options)

@@ -81,6 +81,53 @@ class _WindowDecode:
     sample_begin: int = 0
 
 
+class _MelStore:
+    """Mel windows kept in the [≤32, n_mels, 3000] sub-batch device arrays
+    they were computed in.
+
+    `take(ids)` assembles arbitrary window rows into ONE batch array using
+    one gather per source sub-batch + one concat + one reorder gather —
+    instead of one relay dispatch per window (the old per-row slice +
+    restack pattern): over the remote-device transport every dispatch
+    costs ~10-15 ms of host work even when asynchronous (measured r12),
+    so 32 slices + a stack burned ~0.4 s of the 12-min headline wall."""
+
+    def __init__(self, batches: list):
+        self.batches = batches
+        self.sizes = [int(b.shape[0]) for b in batches]
+        self.offsets = np.concatenate([[0], np.cumsum(self.sizes)])
+        self.n = int(self.offsets[-1])
+
+    def take(self, ids, pad_to: Optional[int] = None, pad_row=None):
+        """Rows `ids` (global window indices, any order) as one
+        [pad_to or len(ids), n_mels, 3000] array; pad rows (broadcast
+        `pad_row` [n_mels, 3000]) fill the tail when pad_to > len(ids)."""
+        by_src: dict[int, list[tuple[int, int]]] = {}
+        for out_i, gid in enumerate(ids):
+            src = int(np.searchsorted(self.offsets, gid, side="right")) - 1
+            by_src.setdefault(src, []).append((gid - int(self.offsets[src]), out_i))
+        pieces = []
+        perm = np.empty(len(ids), np.int32)
+        pos = 0
+        for src in sorted(by_src):
+            rows = by_src[src]
+            local = jnp.asarray([r for r, _ in rows], jnp.int32)
+            pieces.append(jnp.take(self.batches[src], local, axis=0))
+            for k, (_, out_i) in enumerate(rows):
+                perm[out_i] = pos + k
+            pos += len(rows)
+        n_pad = (pad_to - len(ids)) if pad_to is not None else 0
+        if n_pad > 0:
+            pieces.append(
+                jnp.broadcast_to(pad_row[None], (n_pad,) + pad_row.shape)
+            )
+            perm = np.concatenate([perm, np.arange(pos, pos + n_pad)]).astype(np.int32)
+        out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+        if not np.array_equal(perm, np.arange(len(perm))):
+            out = jnp.take(out, jnp.asarray(perm), axis=0)
+        return out
+
+
 class WhisperPipeline:
     """Reference: `WhisperKit` class (WhisperKit.swift)."""
 
@@ -262,34 +309,105 @@ class WhisperPipeline:
     def _mel(self, window: np.ndarray) -> jnp.ndarray:
         return log_mel_spectrogram(jnp.asarray(window), n_mels=self.dims.n_mels)
 
+    def _stage_sync(self, x) -> None:
+        """With ComputeOptions.sync_timings, wait for `x` to finish so the
+        surrounding stage stamp measures EXECUTION time, not dispatch time
+        (reference logTimings semantics, Models.swift:478-539). Forces a
+        one-scalar host pull — block_until_ready is unreliable over the
+        axon tunnel (CLAUDE.md) and a scalar never stalls the transport.
+        No-op (async dispatch, stamps ≈ 0) by default: each sync costs one
+        host round trip, 5-40 ms over this tunnel."""
+        if not self.config.compute_options.sync_timings:
+            return
+        leaf = jax.tree.leaves(x)[-1]
+        np.asarray(jnp.ravel(leaf)[:1])
+
     def _mel_many(self, windows: list) -> list:
         """Mel for N ≤30 s windows in batched dispatches of ≤32 (ONE device
-        round trip per sub-batch instead of one per window). Returns a list
-        of per-window [n_mels, 3000] device arrays."""
+        round trip per sub-batch instead of one per window). Returns the
+        list of [k≤32, n_mels, 3000] SUB-BATCH device arrays — callers that
+        need one array concatenate once (`_mel_batch`); slicing out
+        per-window rows costs one relay dispatch EACH (~10-15 ms of host
+        work even async, measured r12) and is exactly what this layout
+        avoids."""
         out: list = []
         for start in range(0, len(windows), 32):
             part = windows[start : start + 32]
             stacked = np.stack(
                 [pad_or_trim(np.asarray(w, np.float32)) for w in part]
             )
-            batch = log_mel_spectrogram(
-                jnp.asarray(stacked), n_mels=self.dims.n_mels
+            # int16 wire format when lossless (_upload_audio): 32 padded
+            # windows are 61 MB of f32 — the biggest single transfer in
+            # the short-clip batch path
+            out.append(
+                log_mel_spectrogram(
+                    self._upload_audio(stacked), n_mels=self.dims.n_mels
+                )
             )
-            out.extend(batch[i] for i in range(len(part)))
         return out
+
+    def _mel_batch(self, windows: list) -> jnp.ndarray:
+        """One [N, n_mels, 3000] device array for N ≤30 s windows."""
+        parts = self._mel_many(windows)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+    def _upload_audio(self, padded: np.ndarray) -> jnp.ndarray:
+        """Upload an audio array, shipping int16 over the wire when that is
+        LOSSLESS: PCM-derived audio (16-bit WAV at 16 kHz, int16 arrays)
+        lies exactly on the i/32768 grid, so sending int16 and
+        reconstructing f32 on device (i.astype(f32)/2^15 — both exact in
+        f32) is bit-identical at HALF the bytes. The upload is the
+        dominant non-compute term of the long-form pipeline over this
+        tunnel (measured r12: 12 min f32 = 46 MB ≈ 2.0 s of the 6.0 s
+        wall in a degraded session, probe_pipeline_config --sync-timings).
+        `ComputeOptions.int16_audio_transfer` forces the int16 wire format
+        for off-grid audio too (FFmpeg float output, resampled files) at
+        ≤2^-16 per-sample error — exactly what writing the same audio to a
+        16-bit WAV would do.
+        """
+        scaled = padded.ravel() * np.float32(32768.0)
+        # cheap prefix reject: float-valued audio (synthetic, FFmpeg FLT
+        # output, resampled) falls off the grid in the first few samples —
+        # don't pay a full 46 MB rint pass to find that out
+        head = scaled[:65536]
+        i_head = np.rint(head)
+        forced = self.config.compute_options.int16_audio_transfer
+        lossless = bool(
+            (np.abs(i_head) <= 32767.0).all() and (head == i_head).all()
+        )
+        if lossless and len(scaled) > len(head):
+            i_all = np.rint(scaled)
+            lossless = bool(
+                (np.abs(i_all) <= 32767.0).all() and (scaled == i_all).all()
+            )
+        if not (lossless or forced):
+            return jnp.asarray(padded)
+        i16 = (
+            np.clip(np.rint(scaled), -32768, 32767)
+            .astype(np.int16)
+            .reshape(padded.shape)
+        )
+        return jnp.asarray(i16).astype(jnp.float32) / np.float32(32768.0)
 
     def _mel_windows_from_audio(
         self, audio: np.ndarray, chunks: list
-    ) -> list:
+    ) -> "_MelStore":
         """Mels for contiguous-slice chunks of ONE audio array, uploading
         the audio ONCE: windows are extracted on-device (dynamic_slice +
         zero-mask past each chunk's length — identical to pad_or_trim
         semantics). The transport tunnel intermittently stalls large
         transfers (r4: a 29 MB upload once took 310 s), so one ~len(audio)
-        upload beats re-uploading ~2.2× the bytes as padded windows."""
+        upload beats re-uploading ~2.2× the bytes as padded windows.
+
+        Returns a `_MelStore` over the [≤32, n_mels, 3000] sub-batch
+        arrays: the group loop gathers its (length-sorted) rows with a few
+        dispatches instead of one per window — over the relay each
+        dispatch costs ~10-15 ms of host work even when async, and the old
+        slice-out-32-rows-then-restack pattern measured ~0.4 s of the
+        12-min headline wall (r12, tools/probe_upload.py session)."""
         padded = np.zeros(len(audio) + WINDOW_SAMPLES, np.float32)
         padded[: len(audio)] = audio
-        audio_dev = jnp.asarray(padded)  # the single upload
+        audio_dev = self._upload_audio(padded)  # the single upload
         starts = [c.seek_offset_index for c in chunks]
         lengths = [min(len(c.audio_samples), WINDOW_SAMPLES) for c in chunks]
         out: list = []
@@ -304,9 +422,8 @@ class WhisperPipeline:
             wins = jnp.where(
                 jnp.arange(WINDOW_SAMPLES)[None, :] < n[:, None], wins, 0.0
             )
-            batch = log_mel_spectrogram(wins, n_mels=self.dims.n_mels)
-            out.extend(batch[j] for j in range(len(s)))
-        return out
+            out.append(log_mel_spectrogram(wins, n_mels=self.dims.n_mels))
+        return _MelStore(out)
 
     def _mesh(self):
         """Data-parallel mesh over all visible devices (SURVEY.md §2.6: the
@@ -814,7 +931,7 @@ class WhisperPipeline:
         decode (only the language TOKEN differs).
         """
         t0 = time.perf_counter()
-        mel_batch = jnp.stack(self._mel_many(audios))
+        mel_batch = self._mel_batch(audios)
         _, ck, cv = self._encode(mel_batch, options)
         self._detected_language = None
         langs = self._group_languages(options, ck, cv, len(audios), per_row=True)
@@ -864,6 +981,7 @@ class WhisperPipeline:
         chunker = VADAudioChunker()
         # honor clip_timestamps: chunk each clip region independently,
         # keeping absolute sample offsets (reference: prepareSeekClips)
+        t_chunk = time.perf_counter()
         content_frames = len(audio) // 160
         clips = self._prepare_seek_clips(options, content_frames)
         chunks = []
@@ -872,12 +990,19 @@ class WhisperPipeline:
             for c in chunker.chunk_all(region, max_chunk_length=WINDOW_SAMPLES):
                 c.seek_offset_index += clip_start_f * 160
                 chunks.append(c)
+        # host-side VAD/chunking → the Audio Processing row (reference
+        # stamps it around AudioProcessor work, Models.swift:478-539)
+        self.timings.audio_processing += time.perf_counter() - t_chunk
+        self.timings.total_audio_processing_runs += 1
         # One audio upload + batched on-device window extraction + one mel
         # dispatch per ≤32 chunks (instead of one upload+dispatch per
         # chunk): under a degraded tunnel every transfer/dispatch pays the
         # full RTT and large transfers can stall outright (r4 measurements
         # in _mel_windows_from_audio).
+        t_mel = time.perf_counter()
         mels = self._mel_windows_from_audio(audio, chunks)
+        self._stage_sync(mels.batches)
+        self.timings.log_mels += time.perf_counter() - t_mel
         metas = [
             (
                 c.seek_offset_index,
@@ -885,7 +1010,7 @@ class WhisperPipeline:
             )
             for c in chunks
         ]
-        self.timings.total_log_mel_runs += len(mels)
+        self.timings.total_log_mel_runs += mels.n
 
         plan = self._mesh()
         group = max(1, options.concurrent_worker_count)
@@ -909,18 +1034,18 @@ class WhisperPipeline:
         order = sorted(
             range(len(chunks)), key=lambda i: len(chunks[i].audio_samples)
         )
-        decodes: list[Optional[_WindowDecode]] = [None] * len(mels)
+        decodes: list[Optional[_WindowDecode]] = [None] * mels.n
         decoded_count = 0
         cancelled = False
         for start in range(0, len(order), group):
             batch_ids = order[start : start + group]
-            batch_mels = [mels[i] for i in batch_ids]
-            n_real = len(batch_mels)
-            if n_real < group:  # pad to the compiled batch size
-                if pad_mel is None:
-                    pad_mel = self._mel(np.zeros(WINDOW_SAMPLES, np.float32))
-                batch_mels = batch_mels + [pad_mel] * (group - n_real)
-            mel_batch = jnp.stack(batch_mels)
+            n_real = len(batch_ids)
+            if n_real < group and pad_mel is None:  # pad to compiled size
+                pad_mel = self._mel(np.zeros(WINDOW_SAMPLES, np.float32))
+            # few-dispatch gather straight from the mel sub-batches
+            # (_MelStore.take — the per-window slice + restack pattern
+            # paid one relay dispatch per row)
+            mel_batch = mels.take(batch_ids, pad_to=group, pad_row=pad_mel)
             if plan is not None:
                 from whisperkit_tpu.parallel.mesh import shard_batch
 
@@ -935,7 +1060,10 @@ class WhisperPipeline:
                 self.window_preprocess(
                     chunks[i].audio_samples, metas[i][0] // 160, metas[i][1]
                 )
+            t_enc = time.perf_counter()
             _, ck, cv = self._encode(mel_batch, options)
+            self._stage_sync(cv)
+            self.timings.encoding += time.perf_counter() - t_enc
             self.timings.total_encoding_runs += n_real
             # language resolve: detect_language=True re-detects PER ROW
             # every group (reference re-detects every window,
@@ -987,6 +1115,7 @@ class WhisperPipeline:
 
         all_segments: list[TranscriptionSegment] = []
         sp = self.tokenizer.special
+        t_windowing = time.perf_counter()
         for (start_sample, window_frames), wd in zip(metas, decodes):
             if wd is None:  # cancelled (callback False) before this window
                 continue
@@ -1017,6 +1146,9 @@ class WhisperPipeline:
                 start_sample // 160, window_frames, segs
             )
             all_segments.extend(segs)
+        # host-side segment assembly (timestamp pairing, token decode,
+        # hooks) → the Windowing row
+        self.timings.decoding_windowing += time.perf_counter() - t_windowing
         text = "".join(s.text for s in all_segments)
         # result.language = the majority language across decoded windows
         # (NOT last-group-wins); per-segment .language carries the detail
@@ -1113,7 +1245,7 @@ class WhisperPipeline:
             padded[: len(audio)] = audio
             t_mel = time.perf_counter()
             full_mel = log_mel_spectrogram(
-                jnp.asarray(padded), n_mels=self.dims.n_mels,
+                self._upload_audio(padded), n_mels=self.dims.n_mels,
                 n_frames=total_frames,
             )
             self.timings.log_mels += time.perf_counter() - t_mel
