@@ -117,3 +117,34 @@ def test_dcn_manual_decode_step_matches_auto(plan):
     )
     # f32 softmax over bf16 logits: bf16-resolution comparison
     np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-2, atol=3e-2)
+
+
+def test_tp_sharded_w8a8_encoder_matches_unsharded(plan):
+    """The int8-ACTIVATION encoder ("w8a8") under Megatron TP: the
+    quantized {w_q, scale} tree shards with the same rules as w8a16, the
+    per-row activation quantize replicates, and the GSPMD-partitioned
+    int8×int8 dots reproduce the single-device numbers."""
+    from whisperkit_tpu.models.whisper import encoder_forward
+    from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+    params = quantize_whisper_params(
+        init_params(jax.random.PRNGKey(0), DIMS), min_size=1
+    )
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(
+        rng.standard_normal((8, DIMS.n_mels, 3000)).astype(np.float32)
+    )
+    ref = np.asarray(
+        jax.jit(lambda p, m: encoder_forward(p, m, DIMS, act8=True))(params, mel),
+        np.float32,
+    )
+    params_s = shard_whisper_params(plan, params)
+    mel_s = shard_batch(plan, mel)
+    out = jax.jit(lambda p, m: encoder_forward(p, m, DIMS, act8=True))(
+        params_s, mel_s
+    )
+    # int8 dots accumulate in int32 (order-invariant) but the rescale and
+    # residual stream are bf16: compare at bf16 resolution
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref, rtol=3e-2, atol=6e-2
+    )

@@ -44,6 +44,11 @@ def main() -> None:
     )
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument(
+        "--beam-size", dest="beam_size", type=int, default=1,
+        help="beam search width (beam tiles the bf16 cross-KV ×beam, so "
+        "shrink --group to fit: large-v3 wants group×beam ≤ 16)",
+    )
+    ap.add_argument(
         "--timings", action="store_true",
         help="print the pipeline's per-stage timing report after the last "
         "timed pass (where does the headline wall actually go?)",
@@ -89,6 +94,10 @@ def main() -> None:
         WhisperConfig(compute_options=compute), dims=dims, params=params
     )
     options = pipeline_options(args.group)  # the bench headline recipe
+    if args.beam_size > 1:
+        import dataclasses
+
+        options = dataclasses.replace(options, beam_size=args.beam_size)
     pipe.transcribe(audio, options)  # compile on the full audio (CLAUDE.md)
     rtfs = []
     for _ in range(args.passes):
@@ -101,7 +110,7 @@ def main() -> None:
         "metric": "probe_pipeline_rtf",
         "variant": args.variant, "group": args.group,
         "quant": args.quant, "cross_kv_int8": args.cross_kv,
-        "self_kv_int8": args.self_kv,
+        "self_kv_int8": args.self_kv, "beam_size": args.beam_size,
         "rtfs": [round(r, 5) for r in rtfs],
         "best": round(min(rtfs), 5),
         "tunnel_dispatch_ms": rtt_start,
