@@ -300,3 +300,110 @@ def test_regression_cli_local_checkpoint_and_dataset(tmp_path):
     rec = json.loads(out.read_text().splitlines()[0])
     assert rec["wer"] is not None and rec["wer"] >= 0.0
     assert rec["tokens_per_second"] >= 0.0
+
+
+# ---- Hirschberg linear-memory alignment (DistanceCalculation.swift:8-60) ----
+
+
+def _brute_force_distance(ref, hyp):
+    """Plain O(N·M) scalar Levenshtein for oracle checks."""
+    n, m = len(ref), len(hyp)
+    d = np.zeros((n + 1, m + 1), np.int64)
+    d[0, :] = np.arange(m + 1)
+    d[:, 0] = np.arange(n + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d[i, j] = min(
+                d[i - 1, j] + 1,
+                d[i, j - 1] + 1,
+                d[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1]),
+            )
+    return int(d[n, m])
+
+
+def _counts(chunks):
+    hits = subs = dels = ins = 0
+    for c in chunks:
+        n = max(c.ref_end - c.ref_start, c.hyp_end - c.hyp_start)
+        if c.kind == "equal":
+            hits += n
+        elif c.kind == "replace":
+            subs += n
+        elif c.kind == "delete":
+            dels += n
+        else:
+            ins += n
+    return hits, subs, dels, ins
+
+
+def test_vectorized_matrix_matches_scalar_oracle():
+    """The accumulate-trick row update equals the classic scalar DP."""
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n, m = rng.integers(0, 30, 2)
+        ref = [f"w{x}" for x in rng.integers(0, 8, n)]
+        hyp = [f"w{x}" for x in rng.integers(0, 8, m)]
+        chunks = align_words(ref, hyp)
+        _, subs, dels, ins = _counts(chunks)
+        assert subs + dels + ins == _brute_force_distance(ref, hyp), (ref, hyp)
+
+
+def test_hirschberg_matches_matrix_path():
+    """Property: forcing the Hirschberg recursion yields the same optimal
+    edit distance (and consistent count identities) as the full-matrix
+    path on the same inputs."""
+    from whisperkit_tpu.eval import wer as wer_mod
+
+    rng = np.random.default_rng(1)
+    for trial in range(15):
+        n, m = rng.integers(0, 400, 2)
+        ref = [f"w{x}" for x in rng.integers(0, 40, n)]
+        hyp = list(ref)
+        # perturb: random substitutions/deletions/insertions
+        for _ in range(int(rng.integers(0, max(1, m // 4) + 1))):
+            if hyp and rng.random() < 0.5:
+                hyp[int(rng.integers(len(hyp)))] = f"w{rng.integers(40)}"
+            elif hyp and rng.random() < 0.5:
+                del hyp[int(rng.integers(len(hyp)))]
+            else:
+                hyp.insert(int(rng.integers(len(hyp) + 1)), f"w{rng.integers(40)}")
+        matrix_chunks = align_words(ref, hyp)
+        budget = wer_mod._MATRIX_CELL_BUDGET
+        wer_mod._MATRIX_CELL_BUDGET = 64  # force the recursion
+        try:
+            hirsch_chunks = align_words(ref, hyp)
+        finally:
+            wer_mod._MATRIX_CELL_BUDGET = budget
+        mh, ms, md, mi = _counts(matrix_chunks)
+        hh, hs, hd, hi = _counts(hirsch_chunks)
+        # both alignments are optimal: identical cost; count identities hold
+        assert ms + md + mi == hs + hd + hi
+        assert hh + hs + hd == len(ref) and hh + hs + hi == len(hyp)
+
+
+def test_hirschberg_long_pair_linear_memory():
+    """A 20k×20k-word pair aligns within a few hundred MB (the full matrix
+    would be 3.2 GB of int64) — VERDICT r4 #4 acceptance."""
+    import tracemalloc
+
+    rng = np.random.default_rng(2)
+    n = 20_000
+
+    def word(x):  # letter-only so the normalizer keeps each word one token
+        s, x = "", int(x) + 1
+        while x:
+            s += chr(ord("b") + x % 20)
+            x //= 20
+        return s
+
+    ref = [word(x) for x in rng.integers(0, 2000, n)]
+    hyp = list(ref)
+    idx = rng.choice(n, size=n // 20, replace=False)  # 5% substitutions
+    for i in idx:
+        hyp[i] = word(rng.integers(2000, 4000))
+    tracemalloc.start()
+    res = evaluate(" ".join(ref), " ".join(hyp))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 300 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+    assert res.wer == pytest.approx(len(idx) / n, abs=0.01)

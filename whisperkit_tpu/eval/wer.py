@@ -3,9 +3,17 @@
 Reference: Tests/WhisperKitTests/Evaluate/ —
 `DistanceCalculation.swift:8-196` (Needleman-Wunsch / Hirschberg /
 Levenshtein alignment) and `WERUtils.swift:44-125`
-(`processWords`/`evaluate`). The alignment here is a vectorized
-Needleman-Wunsch over words (rows computed as NumPy vector ops), returning
-the same hit/substitution/deletion/insertion counts the reference reports.
+(`processWords`/`evaluate`). Small inputs use a full DP matrix with
+traceback; above `_MATRIX_CELL_BUDGET` cells the alignment switches to
+Hirschberg divide-and-conquer (linear memory, like the reference's
+`DistanceCalculation.swift:8-60` hirschberg), so hour-scale transcript
+pairs (20k+ words each) align in O(min(n, m)) memory instead of the
+O(N·M) int32 matrix (~1.6 GB for a 2-hour pair).
+
+Both paths are vectorized: the sequential along-row insertion dependence
+(`row[j] = min(cand[j], row[j-1]+1)`) collapses to a running minimum —
+`row[j] = min_{k<=j}(cand[k] - k) + j` — computed with
+`np.minimum.accumulate`, so there is no per-cell Python loop anywhere.
 """
 
 from __future__ import annotations
@@ -16,6 +24,11 @@ from typing import Sequence
 import numpy as np
 
 from whisperkit_tpu.eval.normalize import EnglishTextNormalizer
+
+# Full-matrix alignments above this many DP cells switch to Hirschberg.
+# 16M cells ≈ 64 MB int32 — comfortably small, and below it the matrix
+# path's exact traceback (and its tie-breaking) is preserved bit-for-bit.
+_MATRIX_CELL_BUDGET = 16_000_000
 
 
 @dataclasses.dataclass
@@ -44,37 +57,67 @@ class WERResult:
         return 1.0 - self.wer
 
 
-def _edit_matrix(ref: Sequence[str], hyp: Sequence[str]) -> np.ndarray:
-    """Full DP cost matrix (substitution=1) computed row-wise vectorized."""
-    n, m = len(ref), len(hyp)
-    hyp_arr = np.asarray(hyp, dtype=object)
-    d = np.zeros((n + 1, m + 1), np.int32)
+def _encode_words(
+    ref: Sequence[str], hyp: Sequence[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Map words to int codes so DP rows compare int arrays, not objects."""
+    both = list(ref) + list(hyp)
+    _, codes = np.unique(np.asarray(both, dtype=object), return_inverse=True)
+    codes = codes.astype(np.int32)
+    return codes[: len(ref)], codes[len(ref) :]
+
+
+def _row_update(prev: np.ndarray, row0: int, sub_cost: np.ndarray) -> np.ndarray:
+    """One vectorized DP row (length m+1) from the previous row.
+
+    cand[j] = min(prev[j] + 1, prev[j-1] + sub[j]) for j >= 1; the
+    insertion chain row[j] = min(cand[j], row[j-1] + 1) is a running
+    minimum of (cand[k] - k): row[j] = min_{k<=j}(cand[k] - k) + j.
+    """
+    m = sub_cost.shape[0]
+    cand = np.empty(m + 1, np.int64)
+    cand[0] = row0
+    np.minimum(prev[1:] + 1, prev[:-1] + sub_cost, out=cand[1:])
+    cand -= np.arange(m + 1)
+    np.minimum.accumulate(cand, out=cand)
+    cand += np.arange(m + 1)
+    return cand
+
+
+def _edit_matrix(ref_ids: np.ndarray, hyp_ids: np.ndarray) -> np.ndarray:
+    """Full DP cost matrix (substitution=1), one vectorized pass per row."""
+    n, m = len(ref_ids), len(hyp_ids)
+    d = np.zeros((n + 1, m + 1), np.int64)
     d[0, :] = np.arange(m + 1)
     d[:, 0] = np.arange(n + 1)
     for i in range(1, n + 1):
-        sub_cost = (hyp_arr != ref[i - 1]).astype(np.int32)
-        row_prev = d[i - 1]
-        row = d[i]
-        # deletion candidates vectorized; substitution/insertion need the
-        # sequential left-to-right pass (insertion depends on row[j-1])
-        cand_del = row_prev[1:] + 1
-        cand_sub = row_prev[:-1] + sub_cost
-        best = np.minimum(cand_del, cand_sub)
-        acc = row[0]
-        out = np.empty(m, np.int32)
-        for j in range(m):
-            acc = min(best[j], acc + 1)
-            out[j] = acc
-        row[1:] = out
+        sub_cost = (hyp_ids != ref_ids[i - 1]).astype(np.int64)
+        d[i] = _row_update(d[i - 1], i, sub_cost)
     return d
 
 
-def align_words(ref: Sequence[str], hyp: Sequence[str]) -> list[AlignmentChunk]:
-    d = _edit_matrix(ref, hyp)
-    i, j = len(ref), len(hyp)
+def _last_row(ref_ids: np.ndarray, hyp_ids: np.ndarray) -> np.ndarray:
+    """Last DP row only — O(m) memory (Hirschberg forward/backward pass)."""
+    m = len(hyp_ids)
+    prev = np.arange(m + 1, dtype=np.int64)
+    for i in range(1, len(ref_ids) + 1):
+        sub_cost = (hyp_ids != ref_ids[i - 1]).astype(np.int64)
+        prev = _row_update(prev, i, sub_cost)
+    return prev
+
+
+def _traceback_ops(
+    d: np.ndarray, ref_ids: np.ndarray, hyp_ids: np.ndarray
+) -> list[str]:
+    i, j = len(ref_ids), len(hyp_ids)
     ops: list[str] = []
     while i > 0 or j > 0:
-        if i > 0 and j > 0 and ref[i - 1] == hyp[j - 1] and d[i, j] == d[i - 1, j - 1]:
+        if (
+            i > 0
+            and j > 0
+            and ref_ids[i - 1] == hyp_ids[j - 1]
+            and d[i, j] == d[i - 1, j - 1]
+        ):
             ops.append("equal")
             i, j = i - 1, j - 1
         elif i > 0 and j > 0 and d[i, j] == d[i - 1, j - 1] + 1:
@@ -87,6 +130,30 @@ def align_words(ref: Sequence[str], hyp: Sequence[str]) -> list[AlignmentChunk]:
             ops.append("insert")
             j -= 1
     ops.reverse()
+    return ops
+
+
+def _align_ids(ref_ids: np.ndarray, hyp_ids: np.ndarray) -> list[str]:
+    """Optimal edit ops; Hirschberg recursion above the cell budget."""
+    n, m = len(ref_ids), len(hyp_ids)
+    if n == 0:
+        return ["insert"] * m
+    if m == 0:
+        return ["delete"] * n
+    if n == 1 or m == 1 or (n + 1) * (m + 1) <= _MATRIX_CELL_BUDGET:
+        return _traceback_ops(_edit_matrix(ref_ids, hyp_ids), ref_ids, hyp_ids)
+    mid = n // 2
+    fwd = _last_row(ref_ids[:mid], hyp_ids)
+    bwd = _last_row(ref_ids[mid:][::-1], hyp_ids[::-1])[::-1]
+    split = int(np.argmin(fwd + bwd))
+    return _align_ids(ref_ids[:mid], hyp_ids[:split]) + _align_ids(
+        ref_ids[mid:], hyp_ids[split:]
+    )
+
+
+def align_words(ref: Sequence[str], hyp: Sequence[str]) -> list[AlignmentChunk]:
+    ref_ids, hyp_ids = _encode_words(ref, hyp)
+    ops = _align_ids(ref_ids, hyp_ids)
 
     chunks: list[AlignmentChunk] = []
     ri = hi = 0
