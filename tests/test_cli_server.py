@@ -585,3 +585,14 @@ def test_cli_diarize_quantization_flag(monkeypatch, capsys):
     )
     assert rc == 2
     assert "not available for diarization" in capsys.readouterr().err
+
+
+def test_cli_tts_w8a8_rejected_cleanly(capsys):
+    """w8a8 is a Whisper-encoder-only recipe: `tts --quantization w8a8`
+    exits 2 with a message (not an uncaught TTSPipeline ValueError),
+    mirroring the diarize command's handling (r4 advisor finding)."""
+    from whisperkit_tpu.cli import main as cli_main
+
+    rc = cli_main.main(["tts", "--text", "hi", "--quantization", "w8a8"])
+    assert rc == 2
+    assert "not available for tts" in capsys.readouterr().err

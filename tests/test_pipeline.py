@@ -499,6 +499,28 @@ def test_upload_audio_int16_wire_format_is_bit_exact(pipe):
     late[:] = grid[:1]  # grid-exact everywhere...
     late[90_000] = 0.12345  # ...except one off-grid tail sample
     np.testing.assert_array_equal(np.asarray(pipe._upload_audio(late)), late)
+    # full-scale-negative sample (-32768 → -1.0, common in clipped
+    # recordings) is representable in int16 and must NOT force the 2×-size
+    # f32 fallback (r4 advisor finding); reconstruction stays bit-exact
+    clipped = grid.copy()
+    clipped[0] = -1.0
+    clipped[80:90] = -1.0
+    import jax.numpy as jnp_mod
+
+    wire_dtypes = []
+    orig_asarray = jnp_mod.asarray
+
+    def spy_asarray(x, *a, **k):
+        wire_dtypes.append(np.asarray(x).dtype)
+        return orig_asarray(x, *a, **k)
+
+    jnp_mod.asarray = spy_asarray
+    try:
+        up_c = np.asarray(pipe._upload_audio(clipped))
+    finally:
+        jnp_mod.asarray = orig_asarray
+    np.testing.assert_array_equal(up_c, clipped)
+    assert np.dtype(np.int16) in wire_dtypes  # int16 actually went over the wire
 
 
 def test_upload_audio_forced_int16_quantizes_to_grid():

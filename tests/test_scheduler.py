@@ -519,3 +519,28 @@ def test_scheduler_raising_progress_callback_is_contained(pipe):
     ).result(timeout=300)
     assert short_deltas == [r.text]
     sched.shutdown()
+
+
+def test_scheduler_segments_carry_language(pipe):
+    """Scheduler-assembled results stamp TranscriptionSegment.language like
+    the pipeline's VAD/seek paths do, so the same audio yields the same
+    segment metadata / writer output through BatchScheduler as through
+    pipeline.transcribe (r4 advisor finding)."""
+    rng = np.random.default_rng(9)
+    sched = BatchScheduler(pipe, max_batch=8, max_wait_ms=200.0)
+    # short (single-window) request
+    short = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    res_s = sched.submit(short, DecodingOptions(**OPTS)).result(timeout=600)
+    assert res_s.segments and all(s.language == "en" for s in res_s.segments)
+    # long (multi-window) request
+    long_audio = (rng.standard_normal(16000 * 65) * 0.1).astype(np.float32)
+    det = dict(
+        chunking_strategy="vad", sample_length=6, language="en",
+        temperature_fallback_count=0, logprob_threshold=None,
+        compression_ratio_threshold=None, no_speech_threshold=None,
+        first_token_log_prob_threshold=None,
+    )
+    res_l = sched.submit(long_audio, DecodingOptions(**det)).result(timeout=600)
+    sched.shutdown()
+    assert res_l.segments and all(s.language == "en" for s in res_l.segments)
+    assert res_l.language == "en"

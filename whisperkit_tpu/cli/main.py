@@ -399,6 +399,16 @@ def cmd_tts(args) -> int:
     from whisperkit_tpu.pipelines.tts import TTSPipeline, GenerationOptions
 
     _probe_device_or_raise(args)
+    # w8a8's int8 activations are a Whisper-encoder-only recipe; TTS
+    # supports w8a16/w4a16 (mirror cmd_diarize's clean rejection rather
+    # than an uncaught ValueError from TTSPipeline)
+    if args.quantization == "w8a8":
+        print(
+            "--quantization w8a8 is not available for tts "
+            "(choices: w8a16, w4a16)",
+            file=sys.stderr,
+        )
+        return 2
     pipe = TTSPipeline.from_pretrained(
         model_folder=args.model_folder,
         quantize=args.quantization or False,

@@ -102,7 +102,12 @@ def run_load(
         if sampler_thread is not None:
             stop_sampler.set()
             sampler_thread.join(timeout=2)
-    lat = [done_at[i] - t0 for i, (t0, _) in enumerate(submitted)]
+    # fallback stamp if a callback still hasn't fired after the bounded
+    # spin (plausible on a loaded one-core host): the window is
+    # microseconds in practice, so "now" is still an accurate stamp —
+    # and a KeyError here would kill bench.py's one-JSON-line contract
+    now = time.perf_counter()
+    lat = [done_at.get(i, now) - t0 for i, (t0, _) in enumerate(submitted)]
 
     lat_arr = np.asarray(sorted(lat))
     tokens = int(pipeline.timings.total_decoding_loops)

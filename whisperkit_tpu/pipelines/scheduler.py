@@ -95,6 +95,7 @@ class _LongJob:
     audio_seconds: float
     metas: list[tuple[int, int]]  # per window: (seek_offset samples, frames)
     decodes: dict[int, object] = dataclasses.field(default_factory=dict)
+    languages: dict[int, str] = dataclasses.field(default_factory=dict)
     language: Optional[str] = None
     # per-window progress stream (server SSE): called with each window's
     # text in CHRONOLOGICAL order (windows land out of order across
@@ -414,6 +415,7 @@ class BatchScheduler:
                 self.jobs_run += 1
             else:
                 w.parent.decodes[w.index] = wd
+                w.parent.languages[w.index] = language
                 # the job's reported language is its FIRST window's (windows
                 # of one job can land in different batches in any order)
                 if w.index == 0 or w.parent.language is None:
@@ -494,6 +496,8 @@ class BatchScheduler:
             segments = self._segments_for_window(
                 wd, w.options, seek_offset=0, window_frames=window_frames
             )
+            for s in segments:  # match the pipeline's per-segment metadata
+                s.language = language
             result = TranscriptionResult(
                 text="".join(s.text for s in segments).strip(),
                 segments=segments, language=language,
@@ -517,19 +521,27 @@ class BatchScheduler:
         try:
             indices = range(job.emitted if partial else len(job.metas))
             all_segments: list[TranscriptionSegment] = []
+            window_langs: list[str] = []
             for i in indices:
                 seek_offset, window_frames = job.metas[i]
-                all_segments.extend(
-                    self._segments_for_window(
-                        job.decodes[i], job.options,
-                        seek_offset=seek_offset, window_frames=window_frames,
-                        segment_id_start=len(all_segments),
-                    )
+                lang = job.languages.get(i, job.language) or "en"
+                window_langs.append(lang)
+                segs = self._segments_for_window(
+                    job.decodes[i], job.options,
+                    seek_offset=seek_offset, window_frames=window_frames,
+                    segment_id_start=len(all_segments),
                 )
+                for s in segs:  # per-window decode language, like the
+                    s.language = lang  # pipeline's VAD/seek paths
+                all_segments.extend(segs)
             result = TranscriptionResult(
                 text="".join(s.text for s in all_segments).strip(),
                 segments=all_segments,
-                language=job.language or "en",
+                # majority across decoded windows (the pipeline's rule) —
+                # not first-window-wins
+                language=self.pipeline._majority_language(
+                    window_langs, job.options
+                ),
             )
             result.timings.input_audio_seconds = job.audio_seconds
             job.future.set_result(result)

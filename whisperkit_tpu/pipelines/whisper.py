@@ -372,13 +372,20 @@ class WhisperPipeline:
         head = scaled[:65536]
         i_head = np.rint(head)
         forced = self.config.compute_options.int16_audio_transfer
+        # full int16 range: -32768 (a full-scale-negative sample, common in
+        # clipped recordings) is representable and reconstructs exactly as
+        # -32768/32768 = -1.0 — rejecting it forced a 2× f32 upload
         lossless = bool(
-            (np.abs(i_head) <= 32767.0).all() and (head == i_head).all()
+            (i_head >= -32768.0).all()
+            and (i_head <= 32767.0).all()
+            and (head == i_head).all()
         )
         if lossless and len(scaled) > len(head):
             i_all = np.rint(scaled)
             lossless = bool(
-                (np.abs(i_all) <= 32767.0).all() and (scaled == i_all).all()
+                (i_all >= -32768.0).all()
+                and (i_all <= 32767.0).all()
+                and (scaled == i_all).all()
             )
         if not (lossless or forced):
             return jnp.asarray(padded)
