@@ -37,6 +37,10 @@ _LAZY = {
     "quantize_tts_params": ("whisperkit_tpu.ops.quant", "quantize_tts_params"),
     # accelerator reachability (fail-fast serving startup)
     "probe_backend": ("whisperkit_tpu.core.device_probe", "probe_backend"),
+    # audio front end (AudioProcessor.swift analog; stream_audio = the
+    # bounded-memory chunked loader, :307-350)
+    "load_audio": ("whisperkit_tpu.audio.io", "load_audio"),
+    "stream_audio": ("whisperkit_tpu.audio.io", "stream_audio"),
 }
 
 __all__ = sorted(

@@ -152,6 +152,28 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.wk_decode_audio.restype = ctypes.c_int
         lib.wk_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         lib.wk_free.restype = None
+        # incremental-read API (chunked long-file loading; may be absent
+        # in an older cached library — hash-keyed discovery makes that
+        # unlikely, but degrade to whole-file decode rather than crash)
+        try:
+            lib.wk_open_audio.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.wk_open_audio.restype = ctypes.c_void_p
+            lib.wk_read_audio.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
+            lib.wk_read_audio.restype = ctypes.c_int64
+            lib.wk_close_audio.argtypes = [ctypes.c_void_p]
+            lib.wk_close_audio.restype = None
+            lib._wk_has_stream_api = True
+        except AttributeError:
+            lib._wk_has_stream_api = False
         _lib = lib
         return _lib
 
@@ -181,3 +203,72 @@ def decode(path: str) -> Tuple[np.ndarray, int, int]:
     finally:
         lib.wk_free(buf)
     return samples, rate.value, channels.value
+
+
+def stream_available() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "_wk_has_stream_api", False)
+
+
+class AudioStream:
+    """Incremental native decode (reference analog:
+    AudioProcessor.swift:307-350 chunked conversion). Successive `read`
+    calls traverse the file start-to-end; the concatenation of all reads is
+    identical to `decode(path)` (both drive the same C read loop).
+
+    Usage: with AudioStream(path) as s: s.read(n) → [channels, n'] f32
+    (n' < n only at EOF; None at EOF).
+    """
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None or not getattr(lib, "_wk_has_stream_api", False):
+            raise LoadAudioFailed("native audio stream API unavailable")
+        self._lib = lib
+        ch = ctypes.c_int32()
+        rate = ctypes.c_int32()
+        err = ctypes.c_int32()
+        self._handle = lib.wk_open_audio(
+            str(path).encode(), ctypes.byref(ch), ctypes.byref(rate),
+            ctypes.byref(err),
+        )
+        if not self._handle:
+            raise LoadAudioFailed(
+                f"native stream open failed for {path} (code {err.value})"
+            )
+        self.channels = ch.value
+        self.sample_rate = rate.value
+
+    def read(self, max_frames: int) -> Optional[np.ndarray]:
+        """→ float32 [channels, n] (n ≤ max_frames), or None at EOF."""
+        if self._handle is None:
+            raise LoadAudioFailed("stream is closed")
+        buf = np.empty(max_frames * self.channels, np.float32)
+        got = self._lib.wk_read_audio(
+            self._handle,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_frames,
+        )
+        if got < 0:
+            raise LoadAudioFailed(f"native stream read failed (code {got})")
+        if got == 0:
+            return None
+        n = int(got) * self.channels
+        return buf[:n].reshape(self.channels, -1, order="F")
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.wk_close_audio(self._handle)
+            self._handle = None
+
+    def __enter__(self) -> "AudioStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
