@@ -159,16 +159,24 @@ def main() -> None:
 
     def run_pipeline(
         variant_name: str, group: int, int8_kv: bool = False, w8a16: bool = False,
-        w4a16: bool = False, passes: int | None = None,
+        w4a16: bool = False, passes: int | None = None, stabilize: bool = False,
     ):
-        """→ (rtf, pass_rtfs, n_segments, decode_loops, windows, ttft_s);
+        """→ (rtf, pass_detail, n_segments, decode_loops, windows, ttft_s);
         frees the
         pipeline's device buffers before returning so runs don't contend
         for HBM. rtf is the WORST of the timed passes (all recorded) —
         the conservative acceptance methodology (CLAUDE.md / BENCHMARKS
-        "worst-of-N"); within-session passes agree within a few % (r3:
-        0.00682/0.00689) so this costs little margin while cross-session
-        transport drift stays visible via tunnel_dispatch_ms."""
+        "worst-of-N"); cross-session transport drift stays visible via the
+        per-pass RTT markers.
+
+        stabilize=True runs warmup passes to STEADY STATE (up to 5, until
+        two consecutive agree within 5%) before timing. Diagnosis (r5,
+        tools/probe_headline_passes.py): in a degraded session pass wall
+        decays MONOTONICALLY for several passes after the compile-heavy
+        warmup (0.00897→0.00634 over 6 passes, load1m 0.69→0.48 in
+        lockstep) — r4's 41% pass-1 outlier was warmup residue, not a
+        transport stall, so the honest fix is warming to steady state and
+        keeping worst-of-N over the timed passes."""
         from whisperkit_tpu.core.configurations import ComputeOptions, WhisperConfig
 
         dims_v = VARIANT_DIMS[variant_name]
@@ -186,20 +194,40 @@ def main() -> None:
             dims=dims_v, params=params_v,
         )
         options = pipeline_options(group)
+        audio_s = len(audio) / 16_000
         # warmup/compile on the FULL audio: the chunk-bucket group clamp
         # means a 60 s warmup only compiles small-group shapes, leaving the
         # first timed pass to pay the 20-120 s remote b=32 compiles on a
         # cold cache (r5 review finding)
-        pipe.transcribe(audio, options)
-        pass_rtfs = []
-        audio_s = len(audio) / 16_000
+        warmup_rtfs = []
+        max_warmups = 5 if (stabilize and on_tpu) else 1
+        for i in range(max_warmups):
+            t0 = time.perf_counter()
+            pipe.transcribe(audio, options)
+            warmup_rtfs.append(round((time.perf_counter() - t0) / audio_s, 5))
+            if (
+                i >= 1
+                and abs(warmup_rtfs[-1] - warmup_rtfs[-2]) / warmup_rtfs[-2]
+                < 0.05
+            ):
+                break
+        pass_detail = []
+        import os as _os
+
         for _ in range(passes if passes is not None else (3 if on_tpu else 1)):
+            rtt_before = measure_tunnel_dispatch_ms() if stabilize else None
             t0 = time.perf_counter()
             result = pipe.transcribe(audio, options)
-            pass_rtfs.append((time.perf_counter() - t0) / audio_s)
+            rtf_i = (time.perf_counter() - t0) / audio_s
+            d = {"rtf": round(rtf_i, 5)}
+            if stabilize:  # per-pass attribution markers (VERDICT r4 #1a)
+                d["rtt_ms_before"] = rtt_before
+                d["rtt_ms_after"] = measure_tunnel_dispatch_ms()
+                d["load1m"] = round(_os.getloadavg()[0], 2)
+            pass_detail.append(d)
         stats = (
-            max(pass_rtfs),
-            [round(r, 5) for r in pass_rtfs],
+            max(p["rtf"] for p in pass_detail),
+            {"passes": pass_detail, "warmup_rtfs": warmup_rtfs},
             len(result.segments),
             int(pipe.timings.total_decoding_loops),
             int(pipe.timings.total_decoding_windows),
@@ -220,12 +248,14 @@ def main() -> None:
     # perf_decode.py) — fits one 16 GB v5e. bf16 at 16-window groups stays
     # a secondary for r2/r3 continuity (b=32 bf16 cannot fit: 7.9 GB
     # cross-KV alone).
-    # Headline = WORST of three timed passes (all recorded): matches the
-    # documented worst-of-3 acceptance bar (VERDICT r3 weak #3 closed the
-    # best-of-2 drift). Cross-session transport condition rides along as
-    # tunnel_dispatch_ms + the degraded_tunnel marker below.
-    rtf, headline_runs, n_segments, decode_loops, n_windows, ttft_s = run_pipeline(
-        variant, 32 if on_tpu else 4, int8_kv=on_tpu
+    # Headline = WORST of three timed passes (all recorded, with per-pass
+    # RTT/load markers) after STABILIZED warmup: matches the documented
+    # worst-of-3 acceptance bar (VERDICT r3 weak #3 closed the best-of-2
+    # drift; VERDICT r4 #1 closed the warmup-residue pass-1 outlier —
+    # see run_pipeline's stabilize note). Cross-session transport
+    # condition rides along as tunnel_dispatch_ms + degraded_tunnel.
+    rtf, headline_detail, n_segments, decode_loops, n_windows, ttft_s = run_pipeline(
+        variant, 32 if on_tpu else 4, int8_kv=on_tpu, stabilize=True
     )
     pipeline_s = rtf * len(audio) / 16_000
     dims = VARIANT_DIMS["large-v3-turbo" if on_tpu else "tiny"]
@@ -318,6 +348,81 @@ def main() -> None:
         pipe.params = None
         del pipe, sched
 
+    # ---- secondaries: TTS + diarization (VERDICT r4 #2) ---------------------
+    # Both kits carry driver-captured round-over-round numbers in their
+    # blessed configs (reference stamps both: Qwen3GenerateTask.swift:186-193,
+    # PyannoteConfig.swift:150-210). Guarded so a surprise cannot take down
+    # the one-JSON-line headline output.
+    tts_ms_per_frame = diarize_s = None
+    if on_tpu:
+        try:
+            # blessed TTS config (docs/BENCHMARKS.md): 0.6b W8A16, b=4,
+            # unrolled T==1 code predictor — AR ms/frame, worst-of-2
+            from whisperkit_tpu.decoding.tts_loop import TTSScalars, tts_generate_loop
+            from whisperkit_tpu.models.qwen3_tts import init_tts_params
+            from whisperkit_tpu.ops.quant import quantize_tts_params
+            from whisperkit_tpu.pipelines.tts import TTS_VARIANTS
+
+            tts_dims = TTS_VARIANTS["0.6b"]
+            tts_params = quantize_tts_params(
+                init_tts_params(jax.random.PRNGKey(0), tts_dims), bits=8
+            )
+            tts_frames = 64
+            embeds = (
+                jax.random.normal(jax.random.PRNGKey(1), (4, 24, tts_dims.d_model))
+                * 0.02
+            ).astype(jnp.bfloat16)
+
+            def tts_gen(seed: int):
+                out = tts_generate_loop(
+                    tts_params, embeds,
+                    TTSScalars(
+                        temperature=jnp.float32(0.9),
+                        repetition_penalty=jnp.float32(1.05),
+                        rng_key=jax.random.PRNGKey(seed),
+                    ),
+                    dims=tts_dims, max_new_tokens=tts_frames, top_k=50,
+                )
+                return np.asarray(out.codes)
+
+            tts_gen(0)  # compile
+            tts_walls = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                tts_gen(i + 1)
+                tts_walls.append(time.perf_counter() - t0)
+            tts_ms_per_frame = round(max(tts_walls) * 1000 / tts_frames, 3)
+            del tts_params, embeds
+        except Exception:
+            import traceback
+
+            print("tts secondary failed:", file=sys.stderr)
+            traceback.print_exc()
+        try:
+            # blessed diarization config (docs/BENCHMARKS.md): fast conv
+            # pair (random-init default), 10 min audio — seconds, worst-of-2
+            from whisperkit_tpu.pipelines.diarize import (
+                DiarizationOptions,
+                DiarizePipeline,
+            )
+
+            dpipe = DiarizePipeline()
+            d_audio = synth_speechlike_audio(10 * 60.0, seed=5)
+            d_opts = DiarizationOptions()
+            dpipe.diarize(d_audio, d_opts)  # warmup/compile
+            d_walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                dpipe.diarize(d_audio, d_opts)
+                d_walls.append(time.perf_counter() - t0)
+            diarize_s = round(max(d_walls), 2)
+            del dpipe, d_audio
+        except Exception:
+            import traceback
+
+            print("diarize secondary failed:", file=sys.stderr)
+            traceback.print_exc()
+
     # ---- secondary: round-1 32-token microbench (continuity) ---------------
     batch = 64 if on_tpu else 2
     mel_in = jax.random.normal(jax.random.PRNGKey(1), (batch, 480_000)) * 0.1
@@ -362,7 +467,9 @@ def main() -> None:
             on_tpu
             and max(tunnel_dispatch_ms, tunnel_dispatch_ms_end) > 20.0
         ),
-        "headline_runs": headline_runs,
+        "headline_runs": [p["rtf"] for p in headline_detail["passes"]],
+        "headline_passes": headline_detail["passes"],
+        "headline_warmup_rtfs": headline_detail["warmup_rtfs"],
         f"micro_rtf_32tok_b{batch}": round(micro_rtf, 5),
         "segments": n_segments,
         "time_to_first_token_s": ttft_s,
@@ -371,6 +478,10 @@ def main() -> None:
     }
     if serving_stats is not None:
         secondary["serving_burst32x30s"] = serving_stats
+    if tts_ms_per_frame is not None:
+        secondary["tts_ms_per_frame_0.6b_w8a16_b4"] = tts_ms_per_frame
+    if diarize_s is not None:
+        secondary["diarize_s_per_10min"] = diarize_s
     if turbo_rtf is not None:
         secondary[f"pipeline_rtf_large-v3-turbo_vad_{int(audio_minutes)}min"] = round(
             turbo_rtf, 5

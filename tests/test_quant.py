@@ -640,3 +640,47 @@ def test_w8a8_pipeline_end_to_end():
     res = pipe.transcribe(audio, DecodingOptions(sample_length=8, language="en"))
     assert res.segments
     assert all(s.end >= s.start for s in res.segments)
+
+
+def test_quant_divergence_harness_blessed_presets():
+    """End-to-end WER-delta/token-divergence harness (VERDICT r4 #3):
+    the blessed serving preset (int8 cross-KV) and the W8A16/W8A8 schemes
+    stay within bounded divergence of the bf16 pipeline on real decode
+    paths at test scale. Random-init weights make this a sensitive probe —
+    decode decisions ride on raw logit margins with no language prior."""
+    import jax
+
+    from whisperkit_tpu.eval.quant_delta import quant_divergence
+
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    rng = np.random.default_rng(5)
+    audio_list = [
+        (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32),
+    ]
+    options = DecodingOptions(
+        language="en", sample_length=8, temperature_fallback_count=0,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        no_speech_threshold=None, first_token_log_prob_threshold=None,
+    )
+    schemes = {
+        "serving_int8_cross_kv": (None, {"quantize_cross_kv": True}),
+        "w8a16_int8kv": (8, {"quantize_cross_kv": True, "quantization": "w8a16"}),
+        "w8a8_int8kv": (8, {"quantize_cross_kv": True, "quantization": "w8a8"}),
+    }
+    reports = {
+        r.scheme: r
+        for r in quant_divergence(DIMS, params, audio_list, options, schemes)
+    }
+    assert set(reports) == set(schemes)
+    for r in reports.values():
+        assert r.n_ref_tokens > 0
+        assert 0.0 <= r.token_divergence <= 1.0
+        assert r.n_diverged_tokens <= r.n_ref_tokens
+    # measured at this scale (CPU, seed 5): ZERO divergence for all three
+    # (serving preset decode decisions are bit-stable under int8 cross-KV);
+    # weight-quant schemes get a small allowance for math-library drift
+    assert reports["serving_int8_cross_kv"].token_divergence == 0.0
+    assert reports["serving_int8_cross_kv"].wer_vs_bf16 == 0.0
+    assert reports["w8a16_int8kv"].token_divergence <= 0.2
+    assert reports["w8a8_int8kv"].token_divergence <= 0.2

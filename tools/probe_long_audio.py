@@ -48,19 +48,29 @@ def main() -> None:
         compression_ratio_threshold=None, no_speech_threshold=None,
         first_token_log_prob_threshold=None, concurrent_worker_count=32,
     )
+    from bench import measure_tunnel_dispatch_ms
+
     audio = synth_speechlike_audio(args.minutes * 60.0, seed=11)
+    rtt_start = measure_tunnel_dispatch_ms()
     pipe.transcribe(audio[: 16_000 * 60 * 12], options)  # warm 12-min shapes
-    t0 = time.perf_counter()
-    res = pipe.transcribe(audio, options)
-    dt = time.perf_counter() - t0
+    pipe.transcribe(audio, options)  # warm the full-length shapes/mel store
+    rtfs = []
+    for _ in range(2):  # worst-of-2, the secondary methodology
+        t0 = time.perf_counter()
+        res = pipe.transcribe(audio, options)
+        rtfs.append((time.perf_counter() - t0) / (args.minutes * 60.0))
+    dt = max(rtfs) * args.minutes * 60.0
     print(json.dumps({
         "metric": f"pipeline_rtf_large-v3_serving_b32_{int(args.minutes)}min",
-        "rtf": round(dt / (args.minutes * 60.0), 5),
+        "rtf": round(max(rtfs), 5),
+        "rtfs": [round(r, 5) for r in rtfs],
         "windows": int(pipe.timings.total_decoding_windows),
         "tokens_per_second": round(
             pipe.timings.total_decoding_loops / dt, 1
         ),
         "segments": len(res.segments),
+        "tunnel_dispatch_ms": rtt_start,
+        "tunnel_dispatch_ms_end": measure_tunnel_dispatch_ms(),
     }))
 
 
