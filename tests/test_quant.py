@@ -684,3 +684,41 @@ def test_quant_divergence_harness_blessed_presets():
     assert reports["serving_int8_cross_kv"].wer_vs_bf16 == 0.0
     assert reports["w8a16_int8kv"].token_divergence <= 0.2
     assert reports["w8a8_int8kv"].token_divergence <= 0.2
+
+
+def test_teacher_forced_divergence_harness():
+    """Teacher-forced per-step agreement (the compounding-free companion
+    to the free-run WER-delta table): every scheme scores the same
+    bf16-greedy prefix; flips measure per-step decision stability. At this
+    scale the blessed serving preset is bit-stable (zero flips) and the
+    bf16 logit perturbation stays far below the median decision margin."""
+    import math
+
+    from whisperkit_tpu.eval.quant_delta import teacher_forced_divergence
+
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    schemes = {
+        "serving_int8_cross_kv": (None, {"quantize_cross_kv": True}),
+        "int8_self_kv": (None, {"quantize_self_kv": True}),
+        "w8a8_int8kv": (8, {"quantize_cross_kv": True, "quantization": "w8a8"}),
+    }
+    reports = {
+        r.scheme: r
+        for r in teacher_forced_divergence(
+            DIMS, params, audio, schemes=schemes, max_tokens=16
+        )
+    }
+    assert set(reports) == set(schemes)
+    for r in reports.values():
+        assert r.n_steps > 0
+        assert 0.0 <= r.tf_agreement <= 1.0
+        assert r.n_flips == round((1.0 - r.tf_agreement) * r.n_steps)
+        assert r.margin_bf16_median > 0.0
+        assert math.isfinite(r.mean_abs_logit_delta)
+        # logit perturbation well under the decision margin at this scale
+        assert r.mean_abs_logit_delta < 0.25 * r.margin_bf16_median
+    # measured (CPU, seed 5): zero flips for the serving preset
+    assert reports["serving_int8_cross_kv"].tf_agreement == 1.0
+    assert reports["serving_int8_cross_kv"].flip_margin_median is None

@@ -37,9 +37,25 @@ def main() -> None:
         "--schemes", nargs="*", default=None,
         help="subset of scheme names (default: all in DEFAULT_SCHEMES)",
     )
+    ap.add_argument(
+        "--teacher-forced", action="store_true",
+        help="per-step flip rate vs bf16 on the SAME prefix (no trajectory "
+        "compounding) — the interpretable companion to the free-run table",
+    )
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # The axon sitecustomize forces JAX_PLATFORMS=axon; honoring the env
+    # var here makes the documented "quick CPU-able run" actually run on
+    # CPU (and not hang in backend-connect retries when the tunnel is down).
+    if "cpu" in (
+        os.environ.get("WKTPU_EVAL_PLATFORM", ""),
+        os.environ.get("JAX_PLATFORMS", ""),
+    ):
+        jax.config.update("jax_platforms", "cpu")
 
     from whisperkit_tpu.core.compile_cache import enable_compilation_cache
 
@@ -64,7 +80,15 @@ def main() -> None:
         {k: DEFAULT_SCHEMES[k] for k in args.schemes}
         if args.schemes else None
     )
-    reports = quant_divergence(dims, params, audio_list, options, schemes)
+    if args.teacher_forced:
+        from whisperkit_tpu.eval.quant_delta import teacher_forced_divergence
+
+        reports = teacher_forced_divergence(
+            dims, params, audio_list[0], language="en", schemes=schemes,
+            max_tokens=args.sample_length,
+        )
+    else:
+        reports = quant_divergence(dims, params, audio_list, options, schemes)
     for r in reports:
         print(json.dumps({"variant": args.variant, **dataclasses.asdict(r)}))
 
