@@ -160,6 +160,7 @@ def main() -> None:
     def run_pipeline(
         variant_name: str, group: int, int8_kv: bool = False, w8a16: bool = False,
         w4a16: bool = False, passes: int | None = None, stabilize: bool = False,
+        audio_arr: np.ndarray | None = None,
     ):
         """→ (rtf, pass_detail, n_segments, decode_loops, windows, ttft_s);
         frees the
@@ -196,7 +197,8 @@ def main() -> None:
             dims=dims_v, params=params_v,
         )
         options = pipeline_options(group)
-        audio_s = len(audio) / 16_000
+        run_audio = audio if audio_arr is None else audio_arr
+        audio_s = len(run_audio) / 16_000
         # warmup/compile on the FULL audio: the chunk-bucket group clamp
         # means a 60 s warmup only compiles small-group shapes, leaving the
         # first timed pass to pay the 20-120 s remote b=32 compiles on a
@@ -210,7 +212,7 @@ def main() -> None:
         max_warmups = 5 if on_tpu else 1
         for i in range(max_warmups):
             t0 = time.perf_counter()
-            pipe.transcribe(audio, options)
+            pipe.transcribe(run_audio, options)
             warmup_rtfs.append(round((time.perf_counter() - t0) / audio_s, 5))
             if (
                 i >= 1
@@ -224,7 +226,7 @@ def main() -> None:
         for _ in range(passes if passes is not None else (3 if on_tpu else 1)):
             rtt_before = measure_tunnel_dispatch_ms() if stabilize else None
             t0 = time.perf_counter()
-            result = pipe.transcribe(audio, options)
+            result = pipe.transcribe(run_audio, options)
             rtf_i = (time.perf_counter() - t0) / audio_s
             d = {"rtf": round(rtf_i, 5)}
             if stabilize:  # per-pass attribution markers (VERDICT r4 #1a)
@@ -297,6 +299,26 @@ def main() -> None:
             traceback.print_exc()
             w4_rtf = None
         turbo_rtf, _, _, _, _, _ = run_pipeline("large-v3-turbo", 32, passes=2)
+
+    # ---- secondary: hour-scale long-form (VERDICT r4 #6) --------------------
+    # 60 min through the serving preset: ~120 VAD chunks = 4 full b=32
+    # groups, the multi-group steady state the 12-min headline (~1 group)
+    # never reaches. Group shapes are identical to the headline's, so this
+    # costs passes, not compiles. Guarded: a failure here cannot take down
+    # the one-JSON-line output.
+    long60_rtf = None
+    if on_tpu:
+        try:
+            audio60 = synth_speechlike_audio(3600.0, seed=11)
+            long60_rtf, _, _, _, _, _ = run_pipeline(
+                variant, 32, int8_kv=True, passes=2, audio_arr=audio60
+            )
+            del audio60
+        except Exception:
+            import traceback
+
+            print("60min long-form secondary failed:", file=sys.stderr)
+            traceback.print_exc()
 
     # ---- secondary: serving under concurrent load (VERDICT r2 #2) ----------
     # 32 simultaneous 30 s requests through BatchScheduler on the blessed
@@ -504,6 +526,10 @@ def main() -> None:
         secondary["tts_ms_per_frame_0.6b_w8a16_b4"] = tts_ms_per_frame
     if diarize_s is not None:
         secondary["diarize_s_per_10min"] = diarize_s
+    if long60_rtf is not None:
+        secondary["pipeline_rtf_large-v3_serving_vad_60min"] = round(
+            long60_rtf, 5
+        )
     if turbo_rtf is not None:
         secondary[f"pipeline_rtf_large-v3-turbo_vad_{int(audio_minutes)}min"] = round(
             turbo_rtf, 5
