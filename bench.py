@@ -286,7 +286,8 @@ def main() -> None:
 
     # ---- headline: real pipeline, VAD-chunked, rules on, 224-token budget --
     # The headline CONFIG is the blessed serving preset
-    # (ComputeOptions.serving(): int8 cross-KV fused per-layer into encode)
+    # (ComputeOptions.serving(): int8 cross-KV fused per-layer into encode,
+    # plus W8A16 weights as of r5 — see the promotion note below)
     # at 32-window groups: the fused project+quantize keeps peak HBM at
     # ~2 GB int8 + one bf16 layer, so large-v3 b=32 — which measures 20%
     # better per decode row (0.52 vs 0.65 ms/row/step, tools/
@@ -300,25 +301,34 @@ def main() -> None:
     # decay AND rare one-off mid-pass transport stalls both diagnosed; see
     # run_pipeline's stabilize note). Cross-session transport condition
     # rides along as tunnel_dispatch_ms + degraded_tunnel.
+    # r5 headline promotion: W8A16 weights JOIN the serving preset's int8
+    # cross-KV — measured best large-v3 config every time it ran (probe
+    # 0.00591/0.00617; r5 bench secondary 0.00616 vs 0.00672 bf16-weights)
+    # and quality-equivalent on the offline evidence (teacher-forced ZERO
+    # flips, same free-run band as the cross-KV-only preset — BENCHMARKS
+    # "Quantization quality"). The reference benchmarks quantized variants
+    # first-class (fastlane/Fastfile:26-55, 626/594/947/954 MB models).
+    # The bf16-weights serving config stays a tracked secondary below.
     rtf, headline_detail, n_segments, decode_loops, n_windows, ttft_s = run_pipeline(
-        variant, 32 if on_tpu else 4, int8_kv=on_tpu, stabilize=True
+        variant, 32 if on_tpu else 4, int8_kv=on_tpu, w8a16=on_tpu,
+        stabilize=True,
     )
     pipeline_s = rtf * len(audio) / 16_000
     dims = VARIANT_DIMS["large-v3-turbo" if on_tpu else "tiny"]
     sp = special_tokens_for_vocab(dims.n_vocab)
     params = init_params(jax.random.PRNGKey(0), dims)
 
-    # ---- secondaries: bf16 continuity config + W8A16 + W4A16 + turbo -------
+    # ---- secondaries: bf16 b=16 + bf16-weights serving + W4A16 + turbo -----
     turbo_rtf = bf16_rtf = quant_rtf = w4_rtf = None
     if on_tpu:
         # secondaries: 2 timed passes each (worst-of-2) to bound the
         # round-end bench wall time; the headline gets the full 3
         bf16_rtf, _, _, _, _, _ = run_pipeline(variant, 16, passes=2)
-        # W8A16 at b=32 (r4): the r3 OOM was the bf16 cross-KV peak, not
-        # the hoisted dequants — with the fused per-layer int8 cross-KV it
-        # fits (probe: 0.00591/0.00617, tools/probe_w8a16_b32.py)
+        # bf16-weights + int8 cross-KV at b=32: the r2-r5 headline config,
+        # kept as a continuity secondary now that W8A16 weights are in the
+        # headline preset (see headline note above)
         quant_rtf, _, _, _, _, _ = run_pipeline(
-            variant, 32, int8_kv=True, w8a16=True, passes=2
+            variant, 32, int8_kv=True, passes=2
         )
         try:
             # W4A16 (r6, 4-bit palettized-variant analog): measured slower
@@ -348,7 +358,8 @@ def main() -> None:
         try:
             audio60 = synth_speechlike_audio(3600.0, seed=11)
             long60_rtf, _, _, _, _, _ = run_pipeline(
-                variant, 32, int8_kv=True, passes=2, audio_arr=audio60
+                variant, 32, int8_kv=True, w8a16=True, passes=2,
+                audio_arr=audio60,
             )
             del audio60
         except Exception:
@@ -577,7 +588,7 @@ def main() -> None:
     if diarize_s is not None:
         secondary["diarize_s_per_10min"] = diarize_s
     if long60_rtf is not None:
-        secondary["pipeline_rtf_large-v3_serving_vad_60min"] = round(
+        secondary["pipeline_rtf_large-v3_serving_w8a16_vad_60min"] = round(
             long60_rtf, 5
         )
     if turbo_rtf is not None:
@@ -589,7 +600,9 @@ def main() -> None:
             bf16_rtf, 5
         )
     if quant_rtf is not None:
-        secondary[f"pipeline_rtf_{variant}_w8a16_int8kv_vad_{int(audio_minutes)}min"] = round(
+        # the r2-r5 headline config's name, unchanged, for round-over-round
+        # continuity (it is now the bf16-weights serving secondary)
+        secondary[f"pipeline_rtf_{variant}_serving_int8kv_b32_vad_{int(audio_minutes)}min"] = round(
             quant_rtf, 5
         )
     if w4_rtf is not None:
@@ -597,7 +610,7 @@ def main() -> None:
             w4_rtf, 5
         )
     metric = (
-        f"pipeline_rtf_{variant}_serving_int8kv_b32_vad_{int(audio_minutes)}min"
+        f"pipeline_rtf_{variant}_serving_w8a16_int8kv_b32_vad_{int(audio_minutes)}min"
         if on_tpu
         else f"pipeline_rtf_{variant}_vad_{int(audio_minutes)}min"
     )
