@@ -35,12 +35,26 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=60.0)
+    ap.add_argument("--w8a16", action="store_true",
+                    help="W8A16 weights (the r5 headline config)")
+    ap.add_argument("--sync-timings", action="store_true",
+                    help="block at stage boundaries for honest per-stage "
+                    "attribution (slower wall; use to localize scaling "
+                    "overheads, not for the RTF number)")
+    ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
 
     dims = VARIANT_DIMS["large-v3"]
+    params = init_params(jax.random.PRNGKey(0), dims)
+    if args.w8a16:
+        from whisperkit_tpu.ops.quant import quantize_whisper_params
+
+        params = quantize_whisper_params(params, bits=8)
     pipe = WhisperPipeline(
-        WhisperConfig(compute_options=ComputeOptions.serving()),
-        dims=dims, params=init_params(jax.random.PRNGKey(0), dims),
+        WhisperConfig(compute_options=ComputeOptions.serving(
+            sync_timings=args.sync_timings
+        )),
+        dims=dims, params=params,
     )
     options = DecodingOptions(
         language="en", chunking_strategy="vad", sample_length=224,
@@ -54,16 +68,31 @@ def main() -> None:
     rtt_start = measure_tunnel_dispatch_ms()
     pipe.transcribe(audio[: 16_000 * 60 * 12], options)  # warm 12-min shapes
     pipe.transcribe(audio, options)  # warm the full-length shapes/mel store
-    rtfs = []
-    for _ in range(2):  # worst-of-2, the secondary methodology
+    rtfs, stage_rows = [], []
+    for _ in range(args.passes):  # worst-of-N, the secondary methodology
         t0 = time.perf_counter()
         res = pipe.transcribe(audio, options)
-        rtfs.append((time.perf_counter() - t0) / (args.minutes * 60.0))
+        wall = time.perf_counter() - t0
+        rtfs.append(wall / (args.minutes * 60.0))
+        t = pipe.timings
+        stage_rows.append({
+            "wall_s": round(wall, 2),
+            "mels_s": round(t.log_mels, 2),
+            "encode_s": round(t.encoding, 2),
+            "decode_s": round(t.decoding_loop, 2),
+            "other_s": round(
+                wall - t.log_mels - t.encoding - t.decoding_loop, 2
+            ),
+            "decode_loops": int(t.total_decoding_loops),
+        })
     dt = max(rtfs) * args.minutes * 60.0
+    tag = "w8a16_" if args.w8a16 else ""
     print(json.dumps({
-        "metric": f"pipeline_rtf_large-v3_serving_b32_{int(args.minutes)}min",
+        "metric": f"pipeline_rtf_large-v3_serving_{tag}b32_{int(args.minutes)}min",
         "rtf": round(max(rtfs), 5),
         "rtfs": [round(r, 5) for r in rtfs],
+        "sync_timings": args.sync_timings,
+        "stages": stage_rows,
         "windows": int(pipe.timings.total_decoding_windows),
         "tokens_per_second": round(
             pipe.timings.total_decoding_loops / dt, 1
