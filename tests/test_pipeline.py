@@ -414,6 +414,28 @@ def test_vad_sub_batching_long_audio(pipe):
     assert max(s.start for s in res.segments) > 55.0
 
 
+def test_vad_tail_bucket_invariance(pipe):
+    """A partial final group decodes at its own power-of-two bucket
+    (pipelines/whisper.py tail-bucket clamp) — results must be identical
+    to the same audio decoded with every window in one padded group
+    (per-row decode is independent of pad rows)."""
+    rng = np.random.default_rng(13)
+    audio = (rng.standard_normal(16000 * 125) * 0.1).astype(np.float32)  # 5 chunks
+    opts = dict(chunking_strategy="vad", **OPTS)
+    res_tail = pipe.transcribe(  # groups of 4 + a 1-row tail (bucket 1)
+        audio, DecodingOptions(concurrent_worker_count=4, **opts)
+    )
+    res_one = pipe.transcribe(  # one group, everything padded together
+        audio, DecodingOptions(concurrent_worker_count=8, **opts)
+    )
+    assert [s.text for s in res_tail.segments] == [
+        s.text for s in res_one.segments
+    ]
+    assert [round(s.start, 2) for s in res_tail.segments] == [
+        round(s.start, 2) for s in res_one.segments
+    ]
+
+
 def test_window_clip_time_respected(pipe):
     """A 31 s input leaves a 1 s sliver after the first window; the default
     window_clip_time=1.0 must not produce a second tiny window."""

@@ -1047,12 +1047,26 @@ class WhisperPipeline:
         for start in range(0, len(order), group):
             batch_ids = order[start : start + group]
             n_real = len(batch_ids)
-            if n_real < group and pad_mel is None:  # pad to compiled size
+            # tail-bucket clamp (r5): the final PARTIAL group decodes at the
+            # power-of-two bucket covering its real rows instead of the full
+            # group width — pad rows cost real decode bandwidth (the
+            # while_loop runs to the slowest row, and per-step cost scales
+            # with the group's KV rows), so a 2-row tail padded to 32 pays
+            # ~a full group decode for nothing. Power-of-two buckets keep
+            # the extra compiled shapes logarithmic (≤log2(group) per
+            # config), and the bench/pipeline full-audio warmup covers them.
+            gsize = group
+            if n_real < group:
+                gsize = 1 << max(0, math.ceil(math.log2(n_real)))
+                if plan is not None:
+                    gsize = plan.pad_batch(gsize)  # keep dp divisibility
+                gsize = min(gsize, group)
+            if n_real < gsize and pad_mel is None:  # pad to compiled size
                 pad_mel = self._mel(np.zeros(WINDOW_SAMPLES, np.float32))
             # few-dispatch gather straight from the mel sub-batches
             # (_MelStore.take — the per-window slice + restack pattern
             # paid one relay dispatch per row)
-            mel_batch = mels.take(batch_ids, pad_to=group, pad_row=pad_mel)
+            mel_batch = mels.take(batch_ids, pad_to=gsize, pad_row=pad_mel)
             if plan is not None:
                 from whisperkit_tpu.parallel.mesh import shard_batch
 
@@ -1079,7 +1093,7 @@ class WhisperPipeline:
             # per-window languages); an unset language detects once/file
             group_langs = self._group_languages(
                 options, ck, cv, n_real,
-                pad_to=group, per_row=options.detect_language,
+                pad_to=gsize, per_row=options.detect_language,
             )
             batch_decodes = self._decode_with_fallback(
                 ck, cv, options, group_langs, start
