@@ -18,6 +18,7 @@
 // channel count. Mono mixdown and resampling happen downstream (NumPy host
 // path or on-device kernels).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -265,5 +266,27 @@ int wk_decode_audio(const char* path, float** out_samples, int64_t* out_frames,
 }
 
 void wk_free(float* p) { std::free(p); }
+
+// Single-pass grid check + int16 convert for the int16 audio wire format
+// (pipelines/whisper._upload_audio). Returns 1 iff every sample lies
+// exactly on the i/32768 grid within int16 range (so int16-over-the-wire
+// reconstructs the f32 array bit-identically on device), else 0. `dst`
+// is always filled with the round/clip conversion so the forced mode
+// (int16_audio_transfer=True) reuses the same pass. Replaces ~7 NumPy
+// passes over the array (scale, rint x2, three compares, clip, astype)
+// that cost ~4 s host-blocking per 60-min transcribe call.
+int wk_f32_grid_to_i16(const float* src, int64_t n, int16_t* dst) {
+  int64_t bad = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = src[i] * 32768.0f;
+    float r = rintf(v);  // ties-to-even, matches np.rint
+    // branch-free accumulate + clamp keeps the loop auto-vectorizable
+    bad += (r != v) | (r < -32768.0f) | (r > 32767.0f);
+    r = r < -32768.0f ? -32768.0f : r;
+    r = r > 32767.0f ? 32767.0f : r;
+    dst[i] = static_cast<int16_t>(r);
+  }
+  return bad == 0 ? 1 : 0;
+}
 
 }  // extern "C"

@@ -310,3 +310,40 @@ def test_load_audio_one_hour_wav_bounded_rss(tmp_path):
         aio.CHUNKED_LOAD_SECONDS = orig
     assert got.shape == want.shape
     assert np.array_equal(got, want)
+
+
+def test_native_f32_grid_to_i16_matches_numpy():
+    """The native single-pass grid check + convert (wk_f32_grid_to_i16)
+    must agree with the NumPy reference on grid membership AND converted
+    values — including ties-to-even rounding, full-scale -1.0, and +1.0
+    (32768, OUT of int16 range so not lossless)."""
+    from whisperkit_tpu.audio import native
+
+    if native._load() is None or not getattr(
+        native._load(), "_wk_has_grid_api", False
+    ):
+        import pytest as _pytest
+
+        _pytest.skip("native grid API unavailable")
+
+    rng = np.random.default_rng(7)
+    grid = (rng.standard_normal(4096) * 6000).astype(np.int16).astype(
+        np.float32
+    ) / 32768.0
+    off = (rng.standard_normal(4096) * 0.1).astype(np.float32)
+    tie = np.full(8, np.float32(2.5 / 32768.0))  # rint(2.5) = 2, ties-to-even
+    edge = np.array([-1.0, 32767 / 32768.0, 0.0], np.float32)
+    over = np.array([1.0, -1.5, 1.5], np.float32)  # beyond int16 range
+
+    for arr, want_lossless in [
+        (grid, True), (off, False), (tie, False),
+        (edge, True), (over, False),
+        (np.concatenate([grid, off]), False),
+    ]:
+        res = native.f32_grid_to_i16(arr)
+        assert res is not None
+        i16, lossless = res
+        assert lossless == want_lossless, arr[:4]
+        scaled = arr * np.float32(32768.0)
+        ref = np.clip(np.rint(scaled), -32768, 32767).astype(np.int16)
+        np.testing.assert_array_equal(i16, ref)

@@ -174,12 +174,45 @@ def _load() -> Optional[ctypes.CDLL]:
             lib._wk_has_stream_api = True
         except AttributeError:
             lib._wk_has_stream_api = False
+        # single-pass grid check + int16 convert (int16 wire format);
+        # absent in an older cached library → NumPy fallback
+        try:
+            lib.wk_f32_grid_to_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int16),
+            ]
+            lib.wk_f32_grid_to_i16.restype = ctypes.c_int
+            lib._wk_has_grid_api = True
+        except AttributeError:
+            lib._wk_has_grid_api = False
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def f32_grid_to_i16(arr: np.ndarray) -> Optional[Tuple[np.ndarray, bool]]:
+    """Single-pass (check, convert) for the int16 audio wire format:
+    returns (int16 array, lossless) where lossless means every sample lies
+    exactly on the i/32768 grid within int16 range, or None when the
+    native library is unavailable (callers keep their NumPy path). The C
+    pass replaces ~7 NumPy passes over the full array — ~4 s of
+    host-blocking work per 60-min transcribe call
+    (pipelines/whisper._upload_audio)."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_wk_has_grid_api", False):
+        return None
+    arr = np.ascontiguousarray(arr, np.float32)
+    out = np.empty(arr.shape, np.int16)
+    lossless = lib.wk_f32_grid_to_i16(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(arr.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    return out, bool(lossless)
 
 
 def decode(path: str) -> Tuple[np.ndarray, int, int]:

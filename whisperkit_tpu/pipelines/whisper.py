@@ -365,11 +365,12 @@ class WhisperPipeline:
         ≤2^-16 per-sample error — exactly what writing the same audio to a
         16-bit WAV would do.
         """
-        scaled = padded.ravel() * np.float32(32768.0)
+        flat = padded.ravel()
         # cheap prefix reject: float-valued audio (synthetic, FFmpeg FLT
         # output, resampled) falls off the grid in the first few samples —
-        # don't pay a full 46 MB rint pass to find that out
-        head = scaled[:65536]
+        # don't pay a full-array pass to find that out (and don't scale
+        # the full array just to check the head)
+        head = flat[:65536] * np.float32(32768.0)
         i_head = np.rint(head)
         forced = self.config.compute_options.int16_audio_transfer
         # full int16 range: -32768 (a full-scale-negative sample, common in
@@ -380,6 +381,19 @@ class WhisperPipeline:
             and (i_head <= 32767.0).all()
             and (head == i_head).all()
         )
+        if not (lossless or forced):
+            return jnp.asarray(padded)
+        # single C pass over the full array (check + convert together —
+        # the NumPy path below is ~7 passes, ~4 s host-blocking at 60 min)
+        from whisperkit_tpu.audio import native as _native
+
+        grid = _native.f32_grid_to_i16(padded)
+        if grid is not None:
+            i16, lossless = grid
+            if not (lossless or forced):
+                return jnp.asarray(padded)
+            return jnp.asarray(i16).astype(jnp.float32) / np.float32(32768.0)
+        scaled = flat * np.float32(32768.0)  # NumPy fallback path only
         if lossless and len(scaled) > len(head):
             i_all = np.rint(scaled)
             lossless = bool(
