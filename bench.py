@@ -88,6 +88,36 @@ def pipeline_options(group: int):
     )
 
 
+def window_converged(values: list, want: int, tol: float = 0.10) -> bool:
+    """True when the last `want` entries agree within `tol` relative
+    spread — the steady-state acceptance rule shared by the headline
+    pass loop and `timed_converged`: timing continues (bounded) until
+    the last N consecutive measurements converge, then the WORST of
+    them reports. Never best-of-N: a real regression slows every pass
+    and still reports in full; only non-repeatable one-off transients
+    (the ~1-in-24 mid-pass transport stall, BENCHMARKS "Headline
+    stability") stop deciding the number."""
+    if len(values) < want:
+        return False
+    last = values[-want:]
+    return max(last) / min(last) - 1.0 < tol
+
+
+def timed_converged(fn, want: int = 2, max_extra: int = 3) -> float:
+    """WORST of the last `want` consecutive timed calls of `fn(i)` that
+    agree within 10% (`window_converged`), bounded by `max_extra` extra
+    calls — the secondaries' version of the headline's steady-state
+    worst-of-N rule."""
+    walls: list = []
+    for i in range(want + max_extra):
+        t0 = time.perf_counter()
+        fn(i)
+        walls.append(time.perf_counter() - t0)
+        if window_converged(walls, want):
+            break
+    return max(walls[-want:])
+
+
 def measure_tunnel_dispatch_ms() -> float:
     """Median host→chip dispatch RTT (CLAUDE.md: drifts 5-35 ms across
     sessions and inflates every host-driven pipeline number — record it
@@ -257,14 +287,10 @@ def main() -> None:
             pass_detail.append(d)
             if len(pass_detail) >= max_passes:
                 break
-            if len(pass_detail) >= want:
-                last = [p["rtf"] for p in pass_detail[-want:]]
-                if max(last) / min(last) - 1.0 < 0.10:
-                    break
+            if window_converged([p["rtf"] for p in pass_detail], want):
+                break
         counted = [p["rtf"] for p in pass_detail[-want:]]
-        converged = (
-            len(counted) < 2 or max(counted) / min(counted) - 1.0 < 0.10
-        )
+        converged = len(counted) < 2 or window_converged(counted, len(counted))
         stats = (
             max(counted),
             {
@@ -431,21 +457,6 @@ def main() -> None:
     # PyannoteConfig.swift:150-210). Guarded so a surprise cannot take down
     # the one-JSON-line headline output.
     tts_ms_per_frame = diarize_s = None
-
-    def timed_converged(fn, want: int = 2, max_extra: int = 3) -> float:
-        """WORST of the last `want` consecutive timed calls that agree
-        within 10% — the same steady-state worst-of-N rule as
-        run_pipeline (one-off mid-pass transport stalls otherwise sink a
-        fixed worst-of-2; see run_pipeline's stabilize note). Bounded."""
-        walls: list[float] = []
-        for i in range(want + max_extra):
-            t0 = time.perf_counter()
-            fn(i)
-            walls.append(time.perf_counter() - t0)
-            last = walls[-want:]
-            if len(walls) >= want and max(last) / min(last) - 1.0 < 0.10:
-                break
-        return max(walls[-want:])
 
     if on_tpu:
         try:
